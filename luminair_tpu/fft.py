@@ -1,0 +1,192 @@
+"""Circle FFT / iFFT / LDE over M31 columns, batched.
+
+The transform follows the palindromic butterfly structure induced by the
+natural coset row order (see circle.py):
+
+  * circle stage: pair rows (i, N-1-i) (which hold f(P) and f(-P)),
+    twiddle y_i;
+  * line stages:  within each block of size M, pair (j, M-1-j),
+    twiddle x-chain values.
+
+Coefficient basis (index bits MSB..LSB = [y, x, pi(x), ..., pi^(n-2)(x)]):
+  b_j(x, y) = y^bit_{n-1} * x^bit_{n-2} * pi(x)^bit_{n-3} * ...
+
+Low-degree extension embeds a dim-2^n coefficient vector into a dim-2^m one
+by striding (zeros in the low bits), then runs the forward FFT on the larger
+domain.  `eval_at_point` evaluates the same basis at an arbitrary QM31 point
+(used for OODS sampling and as the FFT's cross-check oracle in tests).
+
+This replaces stwo's SimdBackend circle FFT used via
+crates/prover/src/prover.rs:36-46 (twiddle precompute + LDE inside
+tree_builder.extend_evals).  All loops here are static-shape stage loops,
+so the same code jits under JAX for TPU execution.
+
+All functions operate on arrays of shape (..., N) -- leading axes are
+batched columns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import circle
+from .fields import m31, qm31
+
+
+def _xp(a):
+    return m31._xp(a)
+
+
+def ifft(values, twiddles_inv=None):
+    """Interpolate: domain values (..., N) -> coefficients (..., N)."""
+    xp = _xp(values)
+    n = values.shape[-1]
+    log_n = n.bit_length() - 1
+    assert 1 << log_n == n
+    if log_n == 0:
+        return values
+    if twiddles_inv is None:
+        twiddles_inv = circle.ifft_twiddles(log_n)
+
+    a = values
+    # Stage 0: circle stage over the full row axis.
+    t = twiddles_inv[0]  # 1/(2 y_i), length N/2
+    v0 = a[..., : n // 2]
+    v1 = a[..., n // 2 :][..., ::-1]
+    inv2 = t  # combined below
+    e = m31.mul(m31.add(v0, v1), _half(xp, n // 2))
+    o = m31.mul(m31.sub(v0, v1), t)
+    a = xp.concatenate([e, o], axis=-1)
+
+    # Line stages: operate blockwise via reshape.
+    n_blocks = 2
+    m = n // 2
+    stage = 1
+    while m >= 2:
+        t = twiddles_inv[stage]  # 1/(2 x_j), length m/2
+        blocks = a.reshape(a.shape[:-1] + (n_blocks, m))
+        v0 = blocks[..., : m // 2]
+        v1 = blocks[..., m // 2 :][..., ::-1]
+        e = m31.mul(m31.add(v0, v1), _half(xp, m // 2))
+        o = m31.mul(m31.sub(v0, v1), t)
+        a = xp.concatenate([e, o], axis=-1).reshape(a.shape[:-1] + (n,))
+        n_blocks *= 2
+        m //= 2
+        stage += 1
+    return a
+
+
+def fft(coeffs, twiddles=None):
+    """Evaluate: coefficients (..., N) -> domain values (..., N)."""
+    xp = _xp(coeffs)
+    n = coeffs.shape[-1]
+    log_n = n.bit_length() - 1
+    assert 1 << log_n == n
+    if log_n == 0:
+        return coeffs
+    if twiddles is None:
+        twiddles = circle.fft_twiddles(log_n)
+
+    a = coeffs
+    # Line stages in reverse (deepest first: block size 2 ... up to N/2).
+    m = 2
+    n_blocks = n // 2
+    stage = log_n - 1
+    while m <= n // 2:
+        t = twiddles[stage]  # x twiddles, length m/2
+        blocks = a.reshape(a.shape[:-1] + (n_blocks, m))
+        e = blocks[..., : m // 2]
+        o = blocks[..., m // 2 :]
+        to = m31.mul(t, o)
+        v0 = m31.add(e, to)
+        v1 = m31.sub(e, to)[..., ::-1]
+        a = xp.concatenate([v0, v1], axis=-1).reshape(a.shape[:-1] + (n,))
+        m *= 2
+        n_blocks //= 2
+        stage -= 1
+
+    # Circle stage.
+    t = twiddles[0]  # y twiddles, length N/2
+    e = a[..., : n // 2]
+    o = a[..., n // 2 :]
+    to = m31.mul(t, o)
+    v0 = m31.add(e, to)
+    v1 = m31.sub(e, to)[..., ::-1]
+    return xp.concatenate([v0, v1], axis=-1)
+
+
+def lde(values, log_blowup: int, twiddles_inv=None, twiddles_big=None):
+    """Low-degree extend values on D_n to the canonic domain D_{n+log_blowup}."""
+    xp = _xp(values)
+    n = values.shape[-1]
+    coeffs = ifft(values, twiddles_inv)
+    return extend_coeffs_and_fft(coeffs, log_blowup, twiddles_big)
+
+
+def extend_coeffs_and_fft(coeffs, log_blowup: int, twiddles_big=None):
+    xp = _xp(coeffs)
+    n = coeffs.shape[-1]
+    big_n = n << log_blowup
+    stride = 1 << log_blowup
+    ext = xp.zeros(coeffs.shape[:-1] + (big_n,), dtype=xp.uint32)
+    if xp is np:
+        ext[..., ::stride] = coeffs
+    else:
+        ext = ext.at[..., ::stride].set(coeffs)
+    return fft(ext, twiddles_big)
+
+
+def eval_at_point(coeffs, point):
+    """Evaluate base-field coefficient vectors at a QM31 circle point.
+
+    coeffs: (..., N) uint32;  point: (x, y) with each a (4,) QM31.
+    Returns (..., 4) QM31.
+    """
+    n = coeffs.shape[-1]
+    log_n = n.bit_length() - 1
+    x, y = point
+    # Twiddle chain MSB..LSB: [y, x, pi(x), ..., pi^(n-2)(x)]
+    ts = [y]
+    cur = x
+    for _ in range(log_n - 1):
+        ts.append(cur)
+        cur = circle.pi_x_qm31(cur)
+    # Lift coeffs to QM31 and fold from the LSB upwards.
+    a = qm31.from_m31(coeffs)  # (..., N, 4)
+    for lvl in range(log_n - 1, -1, -1):
+        t = ts[lvl]
+        a = a.reshape(a.shape[:-2] + (a.shape[-2] // 2, 2, 4))
+        a = qm31.add(a[..., 0, :], qm31.mul(a[..., 1, :], _bcast(t, a[..., 1, :].shape)))
+    return a[..., 0, :]
+
+
+def eval_at_point_qm31_coeffs(coeffs_qm31, point):
+    """Same as eval_at_point but for QM31 coefficient vectors (..., N, 4)."""
+    n = coeffs_qm31.shape[-2]
+    log_n = n.bit_length() - 1
+    x, y = point
+    ts = [y]
+    cur = x
+    for _ in range(log_n - 1):
+        ts.append(cur)
+        cur = circle.pi_x_qm31(cur)
+    a = coeffs_qm31
+    for lvl in range(log_n - 1, -1, -1):
+        t = ts[lvl]
+        a = a.reshape(a.shape[:-2] + (a.shape[-2] // 2, 2, 4))
+        a = qm31.add(a[..., 0, :], qm31.mul(a[..., 1, :], _bcast(t, a[..., 1, :].shape)))
+    return a[..., 0, :]
+
+
+def _bcast(t, shape):
+    xp = m31._xp(t)
+    return xp.broadcast_to(t, shape)
+
+
+_INV2 = np.uint32((int(m31.P) + 1) // 2)  # 1/2 in M31
+
+
+def _half(xp, length):
+    """(p+1)/2 = inverse of 2; plain numpy scalar broadcasts in both
+    backends (a cached device array would leak tracers under jit)."""
+    return _INV2
