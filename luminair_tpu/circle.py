@@ -90,6 +90,18 @@ def point_to_qm31(p):
     return (qm31.from_m31(np.asarray(p[0])), qm31.from_m31(np.asarray(p[1])))
 
 
+def point_from_t_qm31(t):
+    """Map a QM31 field element to a point on the circle over QM31 via the
+    rational parametrization x = (1-t^2)/(1+t^2), y = 2t/(1+t^2).
+    Used to derive the OODS point from a channel draw."""
+    one = qm31.from_ints(1)
+    t2 = qm31.mul(t, t)
+    denom_inv = qm31.inv(qm31.add(one, t2))
+    x = qm31.mul(qm31.sub(one, t2), denom_inv)
+    y = qm31.mul(qm31.add(t, t), denom_inv)
+    return (x, y)
+
+
 @lru_cache(maxsize=64)
 def group_gen(log_size: int):
     """Generator of the order-2^log_size subgroup."""

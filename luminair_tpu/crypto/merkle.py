@@ -12,10 +12,17 @@ Layer hashing is one batched ``blake2s.hash_words`` call over 2^l nodes --
 the whole tree build is ~2 vector ops per layer, which is the TPU-friendly
 formulation of the reference's rayon-parallel Merkle leaf hashing.
 
-Decommitment invariant: query positions for every column log are the
-projections (right-shifts) of one global bottom-layer query set, so the
-witness is sibling hashes only, in deterministic (layer desc, position asc)
-order.  The PCS (pcs/) guarantees this invariant.
+Decommitment supports an arbitrary query set per layer (the circle-FRI fold
+chain in natural row order needs positions that are *not* projections of
+the bottom queries).  Both sides deterministically derive, per layer, the
+set of nodes the verifier recomputes:
+
+  computed[bottom] = queries[bottom]
+  computed[l]      = parents(computed[l+1])  |  queries[l]
+
+The witness is the child digests the verifier lacks, in (layer desc,
+position asc, child asc) order; opened column values are provided at every
+computed position of their layer.
 """
 
 from __future__ import annotations
@@ -25,6 +32,18 @@ from collections import defaultdict
 import numpy as np
 
 from . import blake2s
+
+
+def computed_positions(column_logs, queries_per_log):
+    """Per-layer recomputed-node positions, {log: sorted list}."""
+    bottom = max(column_logs)
+    out = {}
+    s = sorted({int(p) for p in queries_per_log.get(bottom, [])})
+    out[bottom] = s
+    for log in range(bottom - 1, -1, -1):
+        s = sorted({p >> 1 for p in s} | {int(p) for p in queries_per_log.get(log, [])})
+        out[log] = s
+    return out
 
 
 class MerkleTree:
@@ -59,37 +78,29 @@ class MerkleTree:
         return self.layers[0][0]
 
     def decommit(self, queries_per_log: dict):
-        """queries_per_log: {column_log: sorted positions}; positions for
-        smaller logs must be projections of the largest.  Returns the list
-        of sibling digests (each (8,) uint32) in deterministic order."""
+        """Sibling digests needed to recompute the root from the queried
+        positions, in deterministic order."""
         witness = []
         bottom = self.max_log
-        s = sorted(set(int(p) for p in queries_per_log.get(bottom, [])))
-        # Sanity: every queried layer must be a projection of the bottom set.
-        for log, pos in queries_per_log.items():
-            shift = bottom - log
-            assert set(int(p) for p in pos) <= {p >> shift for p in s} or not s, (
-                "query positions must be projections of the bottom query set"
-            )
+        comp = computed_positions([bottom] + [0], queries_per_log)
+        s = set(comp[bottom])
         for log in range(bottom, 0, -1):
-            parents = sorted({p >> 1 for p in s})
-            known = set(s)
             layer = self.layers[log]
-            for par in parents:
+            nxt = comp[log - 1]
+            for par in nxt:
                 for child in (2 * par, 2 * par + 1):
-                    if child not in known:
+                    if child not in s:
                         witness.append(layer[child])
-            s = parents
+            s = set(nxt)
         return witness
 
     def queried_values(self, queries_per_log: dict):
-        """Column values at the queried positions, column order == insertion
-        order within each log, logs descending (bottom first)."""
+        """Column values at every computed position of their layer; column
+        order == insertion order within each log, logs descending."""
+        comp = computed_positions([self.max_log] + [0], queries_per_log)
         out = []
         for log in sorted(self.cols_by_log, reverse=True):
-            pos = np.asarray(
-                sorted(set(int(p) for p in queries_per_log.get(log, []))), dtype=np.int64
-            )
+            pos = np.asarray(comp[log], dtype=np.int64)
             for c in self.cols_by_log[log]:
                 out.append(c[pos])
         return out
@@ -98,43 +109,45 @@ class MerkleTree:
 def verify_decommitment(
     root, column_logs, queries_per_log: dict, queried_values, witness
 ) -> bool:
-    """Recompute the root from queried column values + sibling witness.
-
-    column_logs: list of logs in the tree's column insertion order (defines
-    the layer layout identically to the prover).
-    queried_values: list of value arrays in the same order as
-    MerkleTree.queried_values.
-    """
+    """Recompute the root from queried column values + sibling witness."""
     cols_count = defaultdict(int)
     for log in column_logs:
         cols_count[log] += 1
     bottom = max(cols_count)
+    comp = computed_positions([bottom] + [0], queries_per_log)
 
-    # Split queried_values back into per-log groups.
     values_iter = iter(queried_values)
     values_by_log = {}
-    for log in sorted(cols_count, reverse=True):
-        values_by_log[log] = [np.asarray(next(values_iter), dtype=np.uint32) for _ in range(cols_count[log])]
+    try:
+        for log in sorted(cols_count, reverse=True):
+            values_by_log[log] = [
+                np.asarray(next(values_iter), dtype=np.uint32)
+                for _ in range(cols_count[log])
+            ]
+    except StopIteration:
+        return False
+    for log, vals in values_by_log.items():
+        for v in vals:
+            if len(v) != len(comp[log]):
+                return False
 
     witness_iter = iter(witness)
-    s = sorted(set(int(p) for p in queries_per_log.get(bottom, [])))
-    node_hashes = {}
     # Bottom layer.
+    s = comp[bottom]
+    node_hashes = {}
     if s:
         vals = values_by_log.get(bottom, [])
-        words = np.stack([v for v in vals], axis=1) if vals else np.zeros((len(s), 0), np.uint32)
+        if not vals:
+            return False
+        words = np.stack(vals, axis=1)
         digs = blake2s.hash_words(words)
         node_hashes = {p: digs[i] for i, p in enumerate(s)}
     for log in range(bottom, 0, -1):
-        parents = sorted({p >> 1 for p in s})
         known = set(s)
+        nxt = comp[log - 1]
+        vals_at_new = values_by_log.get(log - 1, [])
         parent_hashes = {}
-        new_log = log - 1
-        pos_at_new = sorted(set(int(p) for p in queries_per_log.get(new_log, [])))
-        if pos_at_new and set(pos_at_new) != set(parents):
-            return False  # projection invariant violated
-        vals_at_new = values_by_log.get(new_log, [])
-        for idx, par in enumerate(parents):
+        for idx, par in enumerate(nxt):
             parts = []
             for child in (2 * par, 2 * par + 1):
                 if child in known:
@@ -146,10 +159,11 @@ def verify_decommitment(
                         return False
             for v in vals_at_new:
                 parts.append(np.asarray([v[idx]], dtype=np.uint32))
-            words = np.concatenate(parts)
-            parent_hashes[par] = blake2s.hash_words(words)
+            parent_hashes[par] = blake2s.hash_words(np.concatenate(parts))
         node_hashes = parent_hashes
-        s = parents
+        s = nxt
     if list(node_hashes) != [0]:
         return False
+    if next(witness_iter, None) is not None:
+        return False  # trailing witness data
     return bool(np.all(node_hashes[0] == np.asarray(root)))

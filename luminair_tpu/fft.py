@@ -183,6 +183,65 @@ def _bcast(t, shape):
     return xp.broadcast_to(t, shape)
 
 
+# ---------------------------------------------------------------------------
+# Line-domain helpers (used by FRI): the line domain at fold level j of a
+# size-2^k circle domain is the x-coordinate chain {x((2i+1) G_{k+1-j})}.
+
+
+def line_ifft_qm31(values, twiddles_inv):
+    """Interpolate a QM31 evaluation (..., L, 4) on a line domain into line
+    coefficients (basis bits MSB..LSB = [x, pi(x), pi^2(x), ...]).
+
+    twiddles_inv: list of arrays 1/(2*x) per stage (lengths L/2, L/4, ...).
+    """
+    xp = m31._xp(values)
+    L = values.shape[-2]
+    a = values
+    n_blocks = 1
+    m = L
+    stage = 0
+    while m >= 2:
+        t = twiddles_inv[stage][:, None]  # (m/2, 1) broadcast over qm31 coords
+        blocks = a.reshape(a.shape[:-2] + (n_blocks, m, 4))
+        v0 = blocks[..., : m // 2, :]
+        v1 = blocks[..., m // 2 :, :][..., ::-1, :]
+        e = m31.mul(m31.add(v0, v1), _INV2)
+        o = m31.mul(m31.sub(v0, v1), xp.broadcast_to(t, v0.shape))
+        a = xp.concatenate([e, o], axis=-2).reshape(a.shape[:-2] + (L, 4))
+        n_blocks *= 2
+        m //= 2
+        stage += 1
+    return a
+
+
+def line_eval_at_x(coeffs_qm31, x):
+    """Evaluate line coefficients (L, 4) at an M31 x-coordinate (scalar).
+
+    Basis fold mirrors line_ifft_qm31's ordering."""
+    L = coeffs_qm31.shape[-2]
+    log_l = L.bit_length() - 1
+    ts = []
+    cur = np.asarray(x, dtype=np.uint32)
+    for _ in range(log_l):
+        ts.append(cur)
+        cur = circle_pi(cur)
+    a = coeffs_qm31
+    for lvl in range(log_l - 1, -1, -1):
+        t = ts[lvl]
+        a = a.reshape(a.shape[:-2] + (a.shape[-2] // 2, 2, 4))
+        a = m31.add(a[..., 0, :], qm31_mul_scalar_m31(a[..., 1, :], t))
+    return a[..., 0, :]
+
+
+def qm31_mul_scalar_m31(q, s):
+    return m31.mul(q, np.broadcast_to(np.asarray(s, dtype=np.uint32), q.shape))
+
+
+def circle_pi(x):
+    x2 = m31.mul(x, x)
+    return m31.sub(m31.add(x2, x2), np.uint32(1))
+
+
 _INV2 = np.uint32((int(m31.P) + 1) // 2)  # 1/2 in M31
 
 

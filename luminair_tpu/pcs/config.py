@@ -1,0 +1,52 @@
+"""PCS / FRI configuration.
+
+Mirrors the role of stwo's ``PcsConfig`` used by the reference at
+crates/prover/src/prover.rs:36 (``PcsConfig::default()``).  Defaults follow
+stwo's: blowup 2^1, ~secure query count for conjectured security with proof
+of work.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class FriConfig:
+    log_blowup_factor: int = 1
+    log_last_layer_degree_bound: int = 0
+    n_queries: int = 15
+
+
+@dataclass
+class PcsConfig:
+    pow_bits: int = 5
+    fri: FriConfig = field(default_factory=FriConfig)
+
+    @property
+    def log_blowup(self) -> int:
+        return self.fri.log_blowup_factor
+
+    def security_bits(self) -> int:
+        return self.pow_bits + self.fri.log_blowup_factor * self.fri.n_queries
+
+    def to_dict(self):
+        return {
+            "pow_bits": self.pow_bits,
+            "fri": {
+                "log_blowup_factor": self.fri.log_blowup_factor,
+                "log_last_layer_degree_bound": self.fri.log_last_layer_degree_bound,
+                "n_queries": self.fri.n_queries,
+            },
+        }
+
+    @staticmethod
+    def from_dict(d):
+        return PcsConfig(
+            pow_bits=d["pow_bits"],
+            fri=FriConfig(
+                log_blowup_factor=d["fri"]["log_blowup_factor"],
+                log_last_layer_degree_bound=d["fri"]["log_last_layer_degree_bound"],
+                n_queries=d["fri"]["n_queries"],
+            ),
+        )

@@ -1,0 +1,325 @@
+"""Circle FRI: commit/fold/decommit + verification.
+
+Inputs are QM31 "DEEP quotient" evaluations on canonic circle domains of
+mixed sizes (one per committed column log-size), each claimed to lie in the
+circle-FFT space of dimension ``size >> log_blowup``.  The protocol:
+
+  1. draw alpha0; circle-fold every input onto its line domain
+     (E + alpha0 * O);
+  2. walk line layers from the largest down: commit the current layer
+     (4 M31 coordinate columns in a Merkle tree), mix root, draw alpha,
+     fold (E + alpha * O); when a smaller input's line domain size is
+     reached, mix it in scaled by alpha^2;
+  3. stop at size 2^(log_blowup + last_layer_degree); interpolate, check
+     the strided low-degree structure, send the last-layer coefficients;
+  4. grind PoW, draw query positions at the largest size; decommit every
+     line layer at the fold path positions (with palindromic siblings).
+
+Fold pairing matches the FFT layout (fft.py): pair (i, L-1-i), sibling of a
+query position is its bitwise complement, which commutes with the position
+projections used at every smaller layer.
+
+Replaces stwo's FRI (used via crates/prover/src/prover.rs:312
+``prover::prove::<SimdBackend>`` phase 3) with a vectorized, collectives-
+friendly formulation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Dict, List
+
+import numpy as np
+
+from .. import circle, fft
+from ..fields import m31, qm31
+from ..crypto.merkle import MerkleTree, verify_decommitment
+from .config import FriConfig
+
+_INV2 = np.uint32((int(m31.P) + 1) // 2)
+
+
+def _qm31_cols(ev):
+    """(N, 4) qm31 evaluation -> list of 4 (N,) m31 columns."""
+    return [np.ascontiguousarray(ev[:, i]) for i in range(4)]
+
+
+def _cols_qm31(cols):
+    return np.stack(cols, axis=-1)
+
+
+def fold_circle_to_line(values, circle_log: int, alpha):
+    """Circle fold: (N, 4) on D_circle_log -> (N/2, 4) on its line domain.
+
+    f(P) = E(x) + y*O(x);  out = E + alpha*O.
+    """
+    n = 1 << circle_log
+    tw_inv = circle.ifft_twiddles(circle_log)[0]  # 1/(2 y_i), len N/2
+    v0 = values[: n // 2]
+    v1 = values[n // 2 :][::-1]
+    e = m31.mul(m31.add(v0, v1), _INV2)
+    o = m31.mul(m31.sub(v0, v1), tw_inv[:, None])
+    return qm31.add(e, qm31.mul(np.broadcast_to(alpha, o.shape), o))
+
+
+def fold_line(values, line_twiddle_inv, alpha):
+    """Line fold: (L, 4) -> (L/2, 4) with pairing (i, L-1-i)."""
+    L = values.shape[0]
+    v0 = values[: L // 2]
+    v1 = values[L // 2 :][::-1]
+    e = m31.mul(m31.add(v0, v1), _INV2)
+    o = m31.mul(m31.sub(v0, v1), line_twiddle_inv[:, None])
+    return qm31.add(e, qm31.mul(np.broadcast_to(alpha, o.shape), o))
+
+
+@dataclass
+class FriProof:
+    layer_roots: List[np.ndarray]
+    layer_queried_values: List[List[np.ndarray]]  # per layer: 4 value arrays
+    layer_witnesses: List[List[np.ndarray]]
+    last_layer_coeffs: np.ndarray  # (2^D, 4) strided-extracted coefficients
+    pow_nonce: int = 0
+
+
+def fri_prove(inputs: Dict[int, np.ndarray], config: FriConfig, channel) -> "tuple":
+    """inputs: {circle_log: (2^log, 4) qm31 evals}.  Returns (FriProof-
+    without-queries, layer_evals, fold context) -- queries are decommitted
+    by `fri_decommit` after PoW/queries are drawn by the caller.
+    """
+    logs = sorted(inputs, reverse=True)
+    assert logs, "no FRI inputs"
+    kmax = logs[0]
+    B = config.log_blowup_factor
+    last_line_log = B + config.log_last_layer_degree_bound
+    assert min(logs) - 1 >= last_line_log
+
+    alpha0 = channel.draw_felt()
+    line_evals = {k - 1: fold_circle_to_line(inputs[k], k, alpha0) for k in logs}
+
+    cur = line_evals[kmax - 1]
+    cur_log = kmax - 1
+    tw_inv_all = circle.ifft_twiddles(kmax)  # [y, x0, x1, ...]
+
+    layers = []  # (log, evals, MerkleTree)
+    alphas = []
+    while cur_log > last_line_log:
+        cols = _qm31_cols(cur)
+        tree = MerkleTree(cols)
+        channel.mix_root(tree.root)
+        alpha = channel.draw_felt()
+        alphas.append(alpha)
+        layers.append((cur_log, cur, tree))
+        t_inv = tw_inv_all[kmax - cur_log]  # x twiddles 1/(2x), len cur/2
+        cur = fold_line(cur, t_inv, alpha)
+        cur_log -= 1
+        if cur_log in line_evals and cur_log != kmax - 1:
+            alpha2 = qm31.mul(alpha, alpha)
+            cur = qm31.add(cur, qm31.mul(np.broadcast_to(alpha2, cur.shape), line_evals[cur_log]))
+
+    # Last layer: interpolate and extract the strided coefficients.
+    tw_line_inv = tw_inv_all[kmax - cur_log :]
+    coeffs = fft.line_ifft_qm31(cur, tw_line_inv)
+    stride = 1 << B
+    mask = np.ones(len(coeffs), dtype=bool)
+    mask[::stride] = False
+    assert np.all(coeffs[mask] == 0), "last layer exceeds degree bound"
+    last_coeffs = np.ascontiguousarray(coeffs[::stride])
+    channel.mix_felts(last_coeffs)
+
+    proof = FriProof(
+        layer_roots=[t.root for (_, _, t) in layers],
+        layer_queried_values=[],
+        layer_witnesses=[],
+        last_layer_coeffs=last_coeffs,
+    )
+    ctx = {"layers": layers, "alpha0": alpha0, "alphas": alphas, "kmax": kmax}
+    return proof, ctx
+
+
+def fri_decommit(proof: FriProof, ctx, positions: np.ndarray):
+    """Fill the proof's per-layer openings for the given bottom-domain
+    positions (sorted unique, at circle log kmax)."""
+    kmax = ctx["kmax"]
+    n = 1 << kmax
+    pos = sorted({min(int(p), n - 1 - int(p)) for p in positions})  # line kmax-1
+    for (log, _evals, tree) in ctx["layers"]:
+        with_sib = sorted({p for q in pos for p in (q, (1 << log) - 1 - q)})
+        queries = {log: with_sib}
+        proof.layer_queried_values.append(tree.queried_values(queries))
+        proof.layer_witnesses.append(tree.decommit(queries))
+        # fold positions to the next (log-1) layer
+        pos = sorted({min(q, (1 << log) - 1 - q) for q in pos})
+    return proof
+
+
+def needed_input_positions(drawn_positions, input_logs) -> Dict[int, list]:
+    """For each input circle log, the positions at which the verifier needs
+    the FRI input (DEEP quotient) values -- i.e. the positions at which the
+    committed columns of that commit-log must be opened.  Mirrors the fold
+    chain in fri_verify."""
+    logs = sorted(set(int(l) for l in input_logs), reverse=True)
+    kmax = logs[0]
+    n = 1 << kmax
+    need = {kmax: sorted({q for p in drawn_positions for q in (int(p), n - 1 - int(p))})}
+    pos = sorted({min(int(p), n - 1 - int(p)) for p in drawn_positions})
+    for cur_line in range(kmax - 2, -1, -1):
+        # fold line log cur_line+1 -> cur_line
+        pos = sorted({min(i, (1 << (cur_line + 1)) - 1 - i) for i in pos})
+        k = cur_line + 1
+        if k in logs and k != kmax:
+            need[k] = sorted({q for i in pos for q in (i, (1 << k) - 1 - i)})
+        if k - 1 <= 0:
+            break
+    return need
+
+
+def fri_replay(proof: FriProof, config: FriConfig, channel, input_logs: List[int]):
+    """Replay the FRI transcript (roots, last-layer coeffs) against the
+    channel; returns (alpha0, alphas) or None on structural mismatch."""
+    logs = sorted(input_logs, reverse=True)
+    kmax = logs[0]
+    last_line_log = config.log_blowup_factor + config.log_last_layer_degree_bound
+
+    alpha0 = channel.draw_felt()
+    alphas = []
+    cur_log = kmax - 1
+    idx = 0
+    while cur_log > last_line_log:
+        if idx >= len(proof.layer_roots):
+            return None
+        channel.mix_root(proof.layer_roots[idx])
+        alphas.append(channel.draw_felt())
+        idx += 1
+        cur_log -= 1
+    if len(proof.layer_roots) != len(alphas):
+        return None
+    if len(proof.last_layer_coeffs) != 1 << config.log_last_layer_degree_bound:
+        return None
+    channel.mix_felts(proof.last_layer_coeffs)
+    return alpha0, alphas
+
+
+def fri_verify(
+    proof: FriProof,
+    config: FriConfig,
+    channel,
+    query_eval_fn,
+    input_logs: List[int],
+    positions,
+):
+    """Standalone replay + numeric check (used by tests; the PCS calls the
+    two phases separately around PoW/query drawing)."""
+    replay = fri_replay(proof, config, channel, input_logs)
+    if replay is None:
+        return False
+    alpha0, alphas = replay
+    return fri_check_queries(
+        proof, config, alpha0, alphas, query_eval_fn, input_logs, positions
+    )
+
+
+def fri_check_queries(
+    proof: FriProof,
+    config: FriConfig,
+    alpha0,
+    alphas,
+    query_eval_fn,
+    input_logs: List[int],
+    positions,
+):
+    """Numeric FRI verification at the drawn query positions.
+
+    query_eval_fn(circle_log, position) -> (4,) QM31: the claimed FRI input
+    value at that position (the verifier's recomputed DEEP quotient).
+    """
+    logs = sorted(input_logs, reverse=True)
+    kmax = logs[0]
+    B = config.log_blowup_factor
+    last_line_log = B + config.log_last_layer_degree_bound
+    xs_chain = _twiddle_chain(kmax)
+
+    # Current per-position values: start by circle-folding input at kmax.
+    def circle_fold_at(circle_log, pos):
+        n = 1 << circle_log
+        i = min(pos, n - 1 - pos)
+        v_i = query_eval_fn(circle_log, i)
+        v_sib = query_eval_fn(circle_log, n - 1 - i)
+        _, ys = circle.domain_points(circle_log)
+        y = ys[i]
+        e = m31.mul(qm31.add(v_i, v_sib), _INV2)
+        o_num = m31.mul(qm31.sub(v_i, v_sib), _INV2)
+        o = qm31.mul_m31(o_num, m31.inv(np.asarray(y)))
+        return qm31.add(e, qm31.mul(alpha0, o))
+
+    pending = {}  # line position -> current value, at current line log
+    cur_line_log = kmax - 1
+    for p in [int(q) for q in positions]:
+        i = min(p, (1 << kmax) - 1 - p)
+        pending[i] = circle_fold_at(kmax, p)
+
+    layer_idx = 0
+    while cur_line_log > last_line_log:
+        # Check committed layer values match the computed ones, and obtain
+        # sibling values from the opening.
+        log = cur_line_log
+        with_sib = sorted({q for i in pending for q in (i, (1 << log) - 1 - i)})
+        vals = proof.layer_queried_values[layer_idx]
+        wit = proof.layer_witnesses[layer_idx]
+        if not verify_decommitment(
+            proof.layer_roots[layer_idx], [log] * 4, {log: with_sib}, vals, wit
+        ):
+            return False
+        opened = {p: _cols_qm31([vals[c][j] for c in range(4)]) for j, p in enumerate(with_sib)}
+        for i, v in pending.items():
+            if not np.array_equal(opened[i], v):
+                return False
+        # Fold using sibling from the opening.
+        alpha = alphas[layer_idx]
+        nxt = {}
+        x_tw = xs_chain[kmax - log]  # full line domain x values, len 2^log
+        for i in sorted(pending):
+            sib = (1 << log) - 1 - i
+            v_i, v_sib = opened[i], opened[sib]
+            # (i, sib) formulas are symmetric under swap: both numerator and
+            # x twiddle negate, so using i's x directly is correct.
+            e = m31.mul(qm31.add(v_i, v_sib), _INV2)
+            o_num = m31.mul(qm31.sub(v_i, v_sib), _INV2)
+            o = qm31.mul_m31(o_num, m31.inv(np.asarray(x_tw[i])))
+            folded = qm31.add(e, qm31.mul(alpha, o))
+            nxt[min(i, sib)] = folded  # folded index = min of the pair
+        pending = nxt
+        cur_line_log -= 1
+        layer_idx += 1
+        # Mix in smaller inputs arriving at this size.
+        if (cur_line_log + 1) in logs and cur_line_log != kmax - 1:
+            alpha2 = qm31.mul(alpha, alpha)
+            for i in list(pending):
+                # Positions at the smaller circle domain: the line position i
+                # corresponds to circle positions i and complement.
+                add_v = circle_fold_at(cur_line_log + 1, i)
+                pending[i] = qm31.add(pending[i], qm31.mul(alpha2, add_v))
+
+    # Last layer check.
+    full_len = 1 << (last_line_log)
+    stride = 1 << B
+    coeffs_full = np.zeros((full_len, 4), dtype=np.uint32)
+    coeffs_full[::stride] = proof.last_layer_coeffs
+    x_last = xs_chain[kmax - last_line_log]  # full domain, len 2^last_line_log
+    for i, v in pending.items():
+        expect = fft.line_eval_at_x(coeffs_full, x_last[i])
+        if not np.array_equal(np.asarray(expect), np.asarray(v)):
+            return False
+    return True
+
+
+def _twiddle_chain(kmax):
+    """xs_chain[j] = x-coords of line domain at fold level j-1...
+    Layout matches circle.fft_twiddles: index by (kmax - line_log)."""
+    xs, ys = circle.domain_points(kmax)
+    chain = [ys]  # placeholder at index 0 (unused)
+    cur = xs[: 1 << (kmax - 1)]
+    chain.append(cur)
+    while len(cur) >= 2:
+        cur = circle.pi_x(cur[: len(cur) // 2])
+        chain.append(cur)
+    return chain

@@ -1,0 +1,160 @@
+"""DEEP quotients: reduce "column c opened at point z with value v" claims
+to a FRI low-degree claim.
+
+For committed columns with M31 coefficients, the quotient for a sample
+(z, v) divides by the line through z and sigma(z), where sigma is the
+Gal(QM31/CM31) involution (qm31.conj_cm31); the numerator subtracts the
+linear interpolant through (z, v), (sigma z, sigma v).  Honest columns give
+polynomial quotients one degree lower than the column -- strictly inside
+the column's FFT space, so no extra decomposition is needed (see
+docs/PROTOCOL.md for the degree accounting).
+
+Sample batches opened at the same point share a denominator; every
+(column, point) sample gets its own power of the batching challenge gamma,
+assigned by deterministic enumeration order shared with the verifier.
+
+Replaces stwo's quotient/OODS machinery driven from the reference's
+crates/prover/src/prover.rs:304-312 (phase 3).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from .. import circle
+from ..fields import m31, qm31
+
+
+@dataclass
+class ColumnSample:
+    commit_log: int
+    tree: int
+    col: int
+    point: tuple  # (x, y) each (4,) qm31
+    value: np.ndarray  # (4,) qm31
+
+
+def _sample_constants(s: ColumnSample):
+    """Per-sample precomputation shared by prover and verifier.
+
+    Returns (A, B, Cc, a_coef, c0) such that
+      denominator L(P) = A*x_P - B*y_P + Cc
+      numerator_i(P)  = c_i(P) - a_coef*x_P - c0
+    """
+    zx, zy = s.point
+    zbx, zby = qm31.conj_cm31(zx), qm31.conj_cm31(zy)
+    A = qm31.sub(zby, zy)
+    B = qm31.sub(zbx, zx)
+    # L(P) = A*(x - zx) - B*(y - zy) = A*x - B*y + (B*zy - A*zx)
+    Cc = qm31.sub(qm31.mul(B, zy), qm31.mul(A, zx))
+    # Interpolant I(P) = v + (vbar - v) * (x - zx) / (zbx - zx)
+    dv = qm31.sub(qm31.conj_cm31(s.value), s.value)
+    denom = qm31.sub(zbx, zx)
+    assert not np.all(np.asarray(denom) == 0), "sample point x lies in CM31"
+    a_coef = qm31.mul(dv, qm31.inv(denom))
+    c0 = qm31.sub(s.value, qm31.mul(a_coef, zx))
+    return A, B, Cc, a_coef, c0
+
+
+def accumulate_quotients(
+    samples: List[ColumnSample],
+    column_evals: Dict[Tuple[int, int], np.ndarray],
+    gamma,
+) -> Dict[int, np.ndarray]:
+    """Prover side: quotient evaluations per commit log.
+
+    column_evals: {(tree, col): (N,) uint32 committed evaluation}.
+    Returns {commit_log: (N, 4) qm31}.
+    """
+    # Group samples (in order) by (commit_log, point) for shared denominators.
+    groups = {}
+    order = []
+    for idx, s in enumerate(samples):
+        key = (s.commit_log, s.point[0].tobytes(), s.point[1].tobytes())
+        if key not in groups:
+            groups[key] = []
+            order.append(key)
+        groups[key].append((idx, s))
+
+    out: Dict[int, np.ndarray] = {}
+    gamma_pows = {}
+
+    def gpow(i):
+        if i not in gamma_pows:
+            gamma_pows[i] = qm31.pow_const(gamma, i)
+        return gamma_pows[i]
+
+    for key in order:
+        batch = groups[key]
+        log = batch[0][1].commit_log
+        n = 1 << log
+        xs, ys = circle.domain_points(log)
+        A, B, Cc, _, _ = _sample_constants(batch[0][1])
+        # Denominator on the whole domain.
+        L = qm31.add(
+            qm31.sub(
+                qm31.mul_m31(np.broadcast_to(A, (n, 4)), xs),
+                qm31.mul_m31(np.broadcast_to(B, (n, 4)), ys),
+            ),
+            np.broadcast_to(Cc, (n, 4)),
+        )
+        Linv = qm31.inv(L)
+        num_acc = qm31.zero((n,), np)
+        for idx, s in batch:
+            _, _, _, a_coef, c0 = _sample_constants(s)
+            c_ev = qm31.from_m31(column_evals[(s.tree, s.col)])
+            num = qm31.sub(
+                qm31.sub(c_ev, qm31.mul_m31(np.broadcast_to(a_coef, (n, 4)), xs)),
+                np.broadcast_to(c0, (n, 4)),
+            )
+            num_acc = qm31.add(num_acc, qm31.mul(np.broadcast_to(gpow(idx), (n, 4)), num))
+        q = qm31.mul(num_acc, Linv)
+        if log in out:
+            out[log] = qm31.add(out[log], q)
+        else:
+            out[log] = q
+    return out
+
+
+def quotient_at_position(
+    samples: List[ColumnSample],
+    opened,
+    commit_log: int,
+    position: int,
+    gamma,
+) -> np.ndarray:
+    """Verifier side: the quotient value at one domain position.
+
+    opened: callable (tree, col, position) -> uint32 scalar value.
+    """
+    xs, ys = circle.domain_points(commit_log)
+    xP = np.asarray(xs[position])
+    yP = np.asarray(ys[position])
+    acc = qm31.zero((), np)
+    # Group by point exactly as the prover (denominator shared).
+    groups = {}
+    order = []
+    for idx, s in enumerate(samples):
+        if s.commit_log != commit_log:
+            continue
+        key = (s.point[0].tobytes(), s.point[1].tobytes())
+        if key not in groups:
+            groups[key] = []
+            order.append(key)
+        groups[key].append((idx, s))
+    for key in order:
+        batch = groups[key]
+        A, B, Cc, _, _ = _sample_constants(batch[0][1])
+        L = qm31.add(qm31.sub(qm31.mul_m31(A, xP), qm31.mul_m31(B, yP)), Cc)
+        Linv = qm31.inv(L)
+        num_acc = qm31.zero((), np)
+        for idx, s in batch:
+            _, _, _, a_coef, c0 = _sample_constants(s)
+            c_val = qm31.from_m31(np.asarray(opened(s.tree, s.col, position)))
+            num = qm31.sub(qm31.sub(c_val, qm31.mul_m31(a_coef, xP)), c0)
+            num_acc = qm31.add(num_acc, qm31.mul(qm31.pow_const(gamma, idx), num))
+        acc = qm31.add(acc, qm31.mul(num_acc, Linv))
+    return acc

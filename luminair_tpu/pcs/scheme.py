@@ -1,0 +1,244 @@
+"""Commitment scheme: multi-tree column commitments + openings via DEEP
+quotients and FRI.
+
+Prover and verifier live side-by-side so the Fiat-Shamir choreography is
+one visible sequence:
+
+  commit phase:   per tree: LDE columns -> Merkle -> mix root
+  opening phase:  mix sampled values -> draw gamma -> FRI (alpha chain,
+                  layer roots, last coeffs) -> PoW -> draw queries ->
+                  decommit trees + FRI layers
+
+Plays the role of stwo's CommitmentSchemeProver/Verifier as driven by the
+reference at crates/prover/src/prover.rs:44-46 and
+crates/verifiers/rust/src/verifier.rs:61-132.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .. import circle, fft
+from ..fields import qm31
+from ..crypto.merkle import MerkleTree, verify_decommitment, computed_positions
+from . import fri as fri_mod
+from .config import PcsConfig
+from .quotients import ColumnSample, accumulate_quotients, quotient_at_position
+
+
+@dataclass
+class PcsProof:
+    sampled_values: list  # [tree][col][point] -> (4,) uint32
+    fri_proof: "fri_mod.FriProof"
+    pow_nonce: int
+    tree_queried_values: list  # [tree] -> list of value arrays
+    tree_witnesses: list  # [tree] -> list of digests
+
+
+class TreeProver:
+    """One committed tree: columns given on their trace domains, stored as
+    coefficients + LDE evaluations on commit domains (trace_log + blowup)."""
+
+    def __init__(self, columns: List[np.ndarray], log_blowup: int):
+        self.log_blowup = log_blowup
+        self.trace_logs = []
+        self.coeffs = []
+        self.evals = []
+        for col in columns:
+            col = np.asarray(col, dtype=np.uint32)
+            log = int(len(col)).bit_length() - 1
+            assert 1 << log == len(col)
+            self.trace_logs.append(log)
+            c = fft.ifft(col)
+            self.coeffs.append(c)
+            self.evals.append(fft.extend_coeffs_and_fft(c, log_blowup))
+        self.commit_logs = [l + log_blowup for l in self.trace_logs]
+        self.merkle = MerkleTree(self.evals)
+
+    @property
+    def root(self):
+        return self.merkle.root
+
+
+class CommitmentSchemeProver:
+    def __init__(self, config: PcsConfig, channel):
+        self.config = config
+        self.channel = channel
+        self.trees: List[TreeProver] = []
+
+    def commit(self, columns: List[np.ndarray]) -> int:
+        tree = TreeProver(columns, self.config.log_blowup)
+        self.channel.mix_root(tree.root)
+        self.trees.append(tree)
+        return len(self.trees) - 1
+
+    def prove_values(self, sample_points: List[List[List[tuple]]]) -> PcsProof:
+        """sample_points[tree][col] = list of (x, y) QM31 points.
+
+        Returns the opening proof; mixes everything into the channel."""
+        ch = self.channel
+        # 1. Evaluate samples (from coefficients) and mix them.
+        sampled_values = []
+        samples: List[ColumnSample] = []
+        for t, tree in enumerate(self.trees):
+            tree_vals = []
+            for c, pts in enumerate(sample_points[t]):
+                col_vals = []
+                for pt in pts:
+                    v = fft.eval_at_point(tree.coeffs[c], pt)
+                    col_vals.append(np.asarray(v, dtype=np.uint32))
+                    samples.append(
+                        ColumnSample(
+                            commit_log=tree.commit_logs[c],
+                            tree=t,
+                            col=c,
+                            point=pt,
+                            value=np.asarray(v, dtype=np.uint32),
+                        )
+                    )
+                tree_vals.append(col_vals)
+            sampled_values.append(tree_vals)
+        for tree_vals in sampled_values:
+            for col_vals in tree_vals:
+                for v in col_vals:
+                    ch.mix_felts(v)
+
+        # 2. Quotients + FRI.
+        gamma = ch.draw_felt()
+        column_evals = {
+            (t, c): tree.evals[c]
+            for t, tree in enumerate(self.trees)
+            for c in range(len(tree.evals))
+        }
+        quotients = accumulate_quotients(samples, column_evals, gamma)
+        fri_proof, fri_ctx = fri_mod.fri_prove(quotients, self.config.fri, ch)
+
+        # 3. PoW + queries.
+        nonce = ch.grind_pow(self.config.pow_bits)
+        ch.mix_u64(nonce)
+        kmax = max(quotients)
+        positions = ch.draw_queries(self.config.fri.n_queries, kmax)
+
+        # 4. Decommit FRI layers and trees.
+        fri_mod.fri_decommit(fri_proof, fri_ctx, positions)
+        fri_proof.pow_nonce = nonce
+        need = fri_mod.needed_input_positions(positions, sorted(quotients))
+        tree_queried_values = []
+        tree_witnesses = []
+        for tree in self.trees:
+            queries = {}
+            for log in set(tree.commit_logs):
+                if log in need:
+                    queries[log] = need[log]
+            tree_queried_values.append(tree.merkle.queried_values(queries))
+            tree_witnesses.append(tree.merkle.decommit(queries))
+
+        return PcsProof(
+            sampled_values=sampled_values,
+            fri_proof=fri_proof,
+            pow_nonce=nonce,
+            tree_queried_values=tree_queried_values,
+            tree_witnesses=tree_witnesses,
+        )
+
+
+class CommitmentSchemeVerifier:
+    def __init__(self, config: PcsConfig, channel):
+        self.config = config
+        self.channel = channel
+        self.roots: List[np.ndarray] = []
+        self.tree_trace_logs: List[List[int]] = []
+
+    def commit(self, root, column_trace_logs: List[int]):
+        self.channel.mix_root(root)
+        self.roots.append(np.asarray(root, dtype=np.uint32))
+        self.tree_trace_logs.append(list(column_trace_logs))
+
+    def verify_values(self, sample_points, proof: PcsProof) -> bool:
+        ch = self.channel
+        B = self.config.log_blowup
+        # 1. Mix claimed sampled values (shape check against points).
+        samples: List[ColumnSample] = []
+        for t, tree_pts in enumerate(sample_points):
+            if len(proof.sampled_values[t]) != len(tree_pts):
+                return False
+            for c, pts in enumerate(tree_pts):
+                vals = proof.sampled_values[t][c]
+                if len(vals) != len(pts):
+                    return False
+                for pt, v in zip(pts, vals):
+                    samples.append(
+                        ColumnSample(
+                            commit_log=self.tree_trace_logs[t][c] + B,
+                            tree=t,
+                            col=c,
+                            point=pt,
+                            value=np.asarray(v, dtype=np.uint32),
+                        )
+                    )
+        for tree_vals in proof.sampled_values:
+            for col_vals in tree_vals:
+                for v in col_vals:
+                    ch.mix_felts(np.asarray(v, dtype=np.uint32))
+
+        gamma = ch.draw_felt()
+        input_logs = sorted({s.commit_log for s in samples}, reverse=True)
+        kmax = input_logs[0]
+
+        # 2. Replay FRI commitments (structure + channel).
+        replay = fri_mod.fri_replay(proof.fri_proof, self.config.fri, ch, input_logs)
+        if replay is None:
+            return False
+        alpha0, alphas = replay
+
+        # 3. PoW + queries.
+        if not ch.check_pow_nonce(self.config.pow_bits, proof.pow_nonce):
+            return False
+        ch.mix_u64(proof.pow_nonce)
+        positions = ch.draw_queries(self.config.fri.n_queries, kmax)
+
+        # 4. Verify tree decommitments; build opened-value lookup.
+        need = fri_mod.needed_input_positions(positions, input_logs)
+        opened: Dict[Tuple[int, int], Dict[int, int]] = {}
+        for t, logs in enumerate(self.tree_trace_logs):
+            commit_logs = [l + B for l in logs]
+            queries = {}
+            for log in set(commit_logs):
+                if log in need:
+                    queries[log] = need[log]
+            if not verify_decommitment(
+                self.roots[t],
+                commit_logs,
+                queries,
+                proof.tree_queried_values[t],
+                proof.tree_witnesses[t],
+            ):
+                return False
+            #
+
+            comp = computed_positions(commit_logs, queries)
+            # Values are ordered: logs descending, insertion order within log.
+            vi = iter(proof.tree_queried_values[t])
+            for log in sorted(set(commit_logs), reverse=True):
+                for c in [i for i, cl in enumerate(commit_logs) if cl == log]:
+                    vals = np.asarray(next(vi), dtype=np.uint32)
+                    opened[(t, c)] = {p: int(vals[j]) for j, p in enumerate(comp[log])}
+
+        # 5. Recompute quotients at query positions and run the FRI checks.
+        def query_eval(circle_log, pos):
+            return quotient_at_position(
+                samples, lambda t, c, p: opened[(t, c)][p], circle_log, pos, gamma
+            )
+
+        return fri_mod.fri_check_queries(
+            proof.fri_proof,
+            self.config.fri,
+            alpha0,
+            alphas,
+            query_eval,
+            input_logs,
+            positions,
+        )
