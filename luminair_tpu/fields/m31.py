@@ -27,6 +27,23 @@ MODULUS_BITS = 31
 _U32_MASK16 = 0xFFFF
 
 
+class _NullCtx:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+
+_NULL_CTX = _NullCtx()
+
+
+def _quiet(xp):
+    """Silence numpy's benign unsigned-wraparound warnings on 0-d inputs
+    (wraparound is intended: the discarded `where` branch may wrap)."""
+    return np.errstate(over="ignore") if xp is np else _NULL_CTX
+
+
 def _xp(a):
     """Pick the array namespace (numpy or jax.numpy) from an array."""
     if isinstance(a, np.ndarray) or np.isscalar(a):
@@ -45,23 +62,26 @@ def to_m31(x, xp=np):
 def add(a, b):
     xp = _xp(a)
     a, b = xp.asarray(a), xp.asarray(b)
-    s = a + b  # < 2^32, no wrap (both < 2^31)
-    return xp.where(s >= P, s - P, s)
+    with _quiet(xp):
+        s = a + b  # < 2^32, no wrap (both < 2^31)
+        return xp.where(s >= P, s - P, s)
 
 
 def neg(a):
     xp = _xp(a)
     a = xp.asarray(a)
-    # P - a, with -0 -> 0
-    r = P - a
-    return xp.where(r >= P, r - P, r)
+    with _quiet(xp):
+        # P - a, with -0 -> 0
+        r = P - a
+        return xp.where(r >= P, r - P, r)
 
 
 def sub(a, b):
     xp = _xp(a)
     a, b = xp.asarray(a), xp.asarray(b)
-    d = a + (P - b)  # <= 2P - 1 < 2^32
-    return xp.where(d >= P, d - P, d)
+    with _quiet(xp):
+        d = a + (P - b)  # <= 2P - 1 < 2^32
+        return xp.where(d >= P, d - P, d)
 
 
 def _mul_wide(a, b):
@@ -86,12 +106,13 @@ def _mul_wide(a, b):
 def mul(a, b):
     xp = _xp(a)
     a, b = xp.asarray(a), xp.asarray(b)
-    hi, lo = _mul_wide(a, b)
-    # prod = hi*2^32 + lo; 2^32 == 2, 2^31 == 1 (mod p)
-    t = (hi << 1) | (lo >> 31)  # hi < 2^30 so no overflow
-    r = t + (lo & P)  # < 2^32
-    r = (r & P) + (r >> 31)  # <= P
-    return xp.where(r >= P, r - P, r)
+    with _quiet(xp):
+        hi, lo = _mul_wide(a, b)
+        # prod = hi*2^32 + lo; 2^32 == 2, 2^31 == 1 (mod p)
+        t = (hi << 1) | (lo >> 31)  # hi < 2^30 so no overflow
+        r = t + (lo & P)  # < 2^32
+        r = (r & P) + (r >> 31)  # <= P
+        return xp.where(r >= P, r - P, r)
 
 
 def square(a):

@@ -1,0 +1,155 @@
+"""prove(pie, settings) -> LuminairProof: the 4-phase STARK pipeline.
+
+Mirrors the reference's prover orchestration
+(crates/prover/src/prover.rs:28-319):
+
+  Phase 0: commit preprocessed trace (LUT columns, is_first flags);
+  Phase 1: pad + commit main trace columns per component;
+  Phase 2: draw interaction elements, build LogUp interaction columns,
+           mix claimed sums, commit;
+  Phase 3: composition polynomial from the per-component constraint
+           quotients, OODS sampling, DEEP quotients + FRI (pcs/scheme.py).
+
+Everything heavy is vectorized column arithmetic (FFTs, constraint
+evaluation, logup fractions) -- the JAX/TPU execution path runs the same
+kernels on device (parallel/).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from . import circle, fft
+from .fields import m31, qm31
+from .crypto.channel import Blake2sChannel
+from .pcs.config import PcsConfig
+from .pcs.scheme import CommitmentSchemeProver, PcsProof
+from .air.claim import LuminairClaim, LuminairInteractionClaim
+from .air.layout import AirLayout, recombine_qm31
+from .air.framework import ConstraintAccumulator, DomainEval, WitnessEval
+from .air.pie import LuminairPie
+from .errors import EmptyTraceError
+
+
+@dataclass
+class LuminairProof:
+    claim: LuminairClaim
+    interaction_claim: LuminairInteractionClaim
+    roots: List[np.ndarray]
+    pcs_proof: PcsProof
+    config: PcsConfig
+
+
+def prove(pie: LuminairPie, settings, config: Optional[PcsConfig] = None) -> LuminairProof:
+    config = config or PcsConfig()
+    assert config.log_blowup == 1, "constraint evaluation reuses commit evals (blowup 1)"
+    channel = Blake2sChannel()
+
+    # ---- claim ----------------------------------------------------------
+    tables = {n: t for n, t in pie.trace_tables.items() if t.n_rows > 0}
+    if not tables:
+        raise EmptyTraceError("no trace tables")
+    claim = LuminairClaim({n: t.log_size for n, t in tables.items()})
+    claim.mix_into(channel)
+    layout = AirLayout(claim, settings)
+
+    pcs = CommitmentSchemeProver(config, channel)
+
+    # ---- phase 0: preprocessed -----------------------------------------
+    pp_cols = layout.pp.columns()
+    pp_ids = layout.pp.ids()
+    pcs.commit(pp_cols)
+    pp_by_id = dict(zip(pp_ids, pp_cols))
+
+    # ---- phase 1: main trace -------------------------------------------
+    main_cols: List[np.ndarray] = []
+    padded_by_comp: Dict[str, Dict[str, np.ndarray]] = {}
+    for c in layout.components:
+        padded = tables[c.name].padded_columns(c.MAIN)
+        padded_by_comp[c.name] = padded
+        main_cols.extend(padded[n] for n in c.MAIN)
+    pcs.commit(main_cols)
+
+    # ---- phase 2: interaction ------------------------------------------
+    elems = layout.draw_elements(channel)
+    inter_cols: List[np.ndarray] = []
+    inter_qm31_by_comp: Dict[str, List[np.ndarray]] = {}
+    sums: Dict[str, np.ndarray] = {}
+    for c in layout.components:
+        wev = WitnessEval(padded_by_comp[c.name], pp_by_id)
+        c.evaluate(wev, elems)
+        cols_q, claimed = wev.build_interaction()
+        inter_qm31_by_comp[c.name] = cols_q
+        sums[c.name] = claimed
+        for q in cols_q:
+            for k in range(4):
+                inter_cols.append(np.ascontiguousarray(q[:, k]))
+    interaction_claim = LuminairInteractionClaim(sums)
+    interaction_claim.mix_into(channel)
+    pcs.commit(inter_cols)
+
+    # ---- phase 3a: composition poly ------------------------------------
+    alpha = channel.draw_felt()
+    comp_log = layout.composition_log
+    comp_coeffs = np.zeros((4, 1 << comp_log), dtype=np.uint32)
+    acc_pow = qm31.from_ints(1)
+    for c in layout.components:
+        n = claim.log_sizes[c.name]
+        eval_log = n + 1
+        tree_main = pcs.trees[1]
+        tree_pp = pcs.trees[0]
+        tree_inter = pcs.trees[2]
+        s0, s1 = layout.main_slices[c.name]
+        main_evals = {
+            name: tree_main.evals[s0 + i] for i, name in enumerate(c.MAIN)
+        }
+        pp_evals = {
+            pid: tree_pp.evals[layout.pp_index(pid)] for pid in list(c.PP_IDS)
+        }
+        b0, b1 = layout.inter_slices[c.name]
+        inter_evals = [
+            np.stack([tree_inter.evals[(b0 + b) * 4 + k] for k in range(4)], axis=-1)
+            for b in range(b1 - b0)
+        ]
+        is_first_evals = tree_pp.evals[layout.pp_index(layout.is_first_id(c.name))]
+        acc = ConstraintAccumulator(alpha, (1 << eval_log,))
+        acc._pow = acc_pow
+        dev = DomainEval(
+            main_evals,
+            pp_evals,
+            inter_evals,
+            is_first_evals,
+            qm31.from_ints(0) if c.name not in sums else np.asarray(sums[c.name], dtype=np.uint32),
+            acc,
+            roll_stride=2,
+        )
+        c.evaluate(dev, elems)
+        acc_pow = acc._pow
+        # Divide by the vanishing polynomial of the trace domain.
+        xs, _ = circle.domain_points(eval_log)
+        v = circle.coset_vanishing_eval(xs, n, eval_log)
+        vinv = m31.inv(v)
+        q = m31.mul(acc.acc, vinv[:, None])
+        # Interpolate and accumulate into the composition coefficients.
+        coeffs = fft.ifft(np.ascontiguousarray(q.T.reshape(4, -1)))
+        stride = 1 << (comp_log - eval_log)
+        comp_coeffs[:, ::stride] = m31.add(comp_coeffs[:, ::stride], coeffs)
+
+    comp_vals = fft.fft(comp_coeffs)
+    pcs.commit([np.ascontiguousarray(comp_vals[k]) for k in range(4)])
+
+    # ---- phase 3b: OODS + FRI ------------------------------------------
+    z = circle.point_from_t_qm31(channel.draw_felt())
+    sample_points = layout.sample_points(z)
+    pcs_proof = pcs.prove_values(sample_points)
+
+    return LuminairProof(
+        claim=claim,
+        interaction_claim=interaction_claim,
+        roots=[t.root for t in pcs.trees],
+        pcs_proof=pcs_proof,
+        config=config,
+    )

@@ -1,0 +1,106 @@
+"""verify(proof, settings): the cheap side of the STARK.
+
+Mirrors the reference verifier (crates/verifiers/rust/src/verifier.rs:21-143):
+re-derive the preprocessed trace from settings, replay the transcript
+(claim -> roots -> elements -> claimed sums -> composition alpha -> OODS),
+check the global LogUp sum, check the composition identity at the OODS
+point, then verify DEEP quotients + FRI + Merkle decommitments.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+
+from . import circle
+from .fields import m31, qm31
+from .crypto.channel import Blake2sChannel
+from .crypto.merkle import MerkleTree
+from .pcs.scheme import CommitmentSchemeVerifier
+from .air.layout import AirLayout, recombine_qm31
+from .air.framework import ConstraintAccumulator, PointEval
+from .errors import InvalidLogUpError, StwoVerifierError
+from .prover import LuminairProof
+
+
+def verify(proof: LuminairProof, settings) -> bool:
+    """Raises on failure; returns True on acceptance."""
+    config = proof.config
+    channel = Blake2sChannel()
+
+    claim = proof.claim
+    claim.mix_into(channel)
+    layout = AirLayout(claim, settings)
+
+    pcs = CommitmentSchemeVerifier(config, channel)
+
+    # Tree 0: the verifier rebuilds the preprocessed columns itself and
+    # recommits (LDE + Merkle) -- the root must match the prover's.
+    from .pcs.scheme import TreeProver
+
+    pp_cols = layout.pp.columns()
+    pp_tree = TreeProver(pp_cols, config.log_blowup)
+    if not np.array_equal(pp_tree.root, np.asarray(proof.roots[0])):
+        raise StwoVerifierError("preprocessed tree root mismatch")
+    pcs.commit(proof.roots[0], layout.pp_logs())
+    pcs.commit(proof.roots[1], layout.main_logs)
+
+    elems = layout.draw_elements(channel)
+
+    # Global LogUp balance.
+    if not proof.interaction_claim.is_balanced():
+        raise InvalidLogUpError("sum of claimed LogUp sums != 0")
+    proof.interaction_claim.mix_into(channel)
+    pcs.commit(proof.roots[2], layout.inter_logs)
+
+    alpha = channel.draw_felt()
+    pcs.commit(proof.roots[3], [layout.composition_log] * 4)
+
+    z = circle.point_from_t_qm31(channel.draw_felt())
+    sample_points = layout.sample_points(z)
+
+    # ---- composition identity at the OODS point ------------------------
+    sv = proof.pcs_proof.sampled_values
+    acc = ConstraintAccumulator(alpha, ())
+    total = qm31.zero((), np)
+    acc_pow = qm31.from_ints(1)
+    for c in layout.components:
+        n = claim.log_sizes[c.name]
+        s0, _ = layout.main_slices[c.name]
+        main_values = {
+            name: sv[1][s0 + i][0] for i, name in enumerate(c.MAIN)
+        }
+        pp_values = {pid: sv[0][layout.pp_index(pid)][0] for pid in list(c.PP_IDS)}
+        b0, b1 = layout.inter_slices[c.name]
+        inter_values = []
+        for b in range(b1 - b0):
+            coords = [sv[2][(b0 + b) * 4 + k][0] for k in range(4)]
+            inter_values.append(recombine_qm31(coords))
+        prev_coords = [sv[2][(b1 - 1) * 4 + k][1] for k in range(4)]
+        inter_prev = recombine_qm31(prev_coords)
+        is_first_val = sv[0][layout.pp_index(layout.is_first_id(c.name))][0]
+        comp_acc = ConstraintAccumulator(alpha, ())
+        comp_acc._pow = acc_pow
+        pev = PointEval(
+            main_values,
+            pp_values,
+            inter_values,
+            inter_prev,
+            is_first_val,
+            np.asarray(proof.interaction_claim.sums[c.name], dtype=np.uint32),
+            comp_acc,
+        )
+        c.evaluate(pev, elems)
+        acc_pow = comp_acc._pow
+        v = circle.coset_vanishing_eval_qm31(z[0], n)
+        total = qm31.add(total, qm31.mul(comp_acc.acc, qm31.inv(v)))
+
+    comp_at_z = recombine_qm31([sv[3][k][0] for k in range(4)])
+    if not np.array_equal(np.asarray(total), np.asarray(comp_at_z)):
+        raise StwoVerifierError("composition polynomial OODS mismatch")
+
+    # ---- PCS: sampled values, quotients, FRI, decommitments ------------
+    if not pcs.verify_values(sample_points, proof.pcs_proof):
+        raise StwoVerifierError("PCS verification failed")
+    return True
