@@ -21,6 +21,14 @@ from .preprocessed import calculate_log_size
 #: is_last_idx = 1).
 _PADDING_ONES = {"is_last_idx"}
 
+#: per-table overrides: less_than pads with a *valid* comparison row
+#: (0 < 1 -> out = 1.0 fixed, diff = 1, limb0 = 1; reference
+#: less_than/table.rs padding()) because the all-zeros row would violate
+#: out = (1 - borrow) * 2^12.
+_PADDING_OVERRIDES = {
+    "less_than": {"rhs": 1, "out": 1 << 12, "diff": 1, "limb0": 1},
+}
+
 
 @dataclass
 class TraceTable:
@@ -41,9 +49,10 @@ class TraceTable:
         n = self.n_rows
         size = 1 << self.log_size
         out = {}
+        overrides = _PADDING_OVERRIDES.get(self.name, {})
         for name in col_order:
             col = np.asarray(self.columns[name], dtype=np.uint32)
-            pad_val = 1 if name in _PADDING_ONES else 0
+            pad_val = overrides.get(name, 1 if name in _PADDING_ONES else 0)
             padded = np.full(size, pad_val, dtype=np.uint32)
             padded[:n] = col
             out[name] = padded

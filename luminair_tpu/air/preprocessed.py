@@ -120,6 +120,10 @@ class LutPreProcessed:
         self.kind = kind
         self.layout = layout
 
+    @property
+    def log_size(self) -> int:
+        return self.layout.log_size
+
     def ids(self):
         return [f"{self.kind}_lut_0", f"{self.kind}_lut_1"]
 

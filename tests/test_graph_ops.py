@@ -1,0 +1,243 @@
+"""Differential op tests: build graph -> compile -> settings -> trace ->
+prove -> verify, and compare outputs against a float oracle at 1e-3
+(mirrors the reference test strategy, crates/graph/src/tests/mod.rs:216-235
+assert_close and the macro-generated shape matrix)."""
+
+import numpy as np
+import pytest
+
+from luminair_tpu.prelude import *
+from luminair_tpu.pcs.config import FriConfig, PcsConfig
+
+RNG = np.random.default_rng(99)
+CFG = PcsConfig(pow_bits=1, fri=FriConfig(log_blowup_factor=1, log_last_layer_degree_bound=0, n_queries=6))
+
+
+def run_graph(build, prove_it=True):
+    """build(cx) -> (outputs dict name->GraphTensor).  Returns outputs data
+    after full trace+prove+verify."""
+    cx = Graph()
+    outs = build(cx)
+    for t in outs.values():
+        t.retrieve()
+    cx.compile()
+    settings = gen_circuit_settings(cx)
+    pie = gen_trace(cx, settings)
+    if prove_it:
+        proof = prove(pie, settings, CFG)
+        assert verify(proof, settings)
+    return {k: t.data() for k, t in outs.items()}
+
+
+def assert_close(got, expect, tol=1e-3):
+    got = np.asarray(got, dtype=np.float64).reshape(-1)
+    expect = np.asarray(expect, dtype=np.float64).reshape(-1)
+    assert got.shape == expect.shape
+    assert np.allclose(got, expect, atol=tol, rtol=tol), f"{got} vs {expect}"
+
+
+SHAPES_UNARY = [(3, 4), (1, 1), (1, 8), (8, 1)]
+SHAPES_BINARY = SHAPES_UNARY + [(17, 13)]
+
+
+class TestBinaryOps:
+    @pytest.mark.parametrize("shape", SHAPES_BINARY)
+    def test_add(self, shape):
+        a = RNG.normal(size=shape)
+        b = RNG.normal(size=shape)
+
+        def build(cx):
+            ta = cx.tensor(shape).set(a)
+            tb = cx.tensor(shape).set(b)
+            return {"out": ta + tb}
+
+        out = run_graph(build)
+        assert_close(out["out"], a + b)
+
+    @pytest.mark.parametrize("shape", [(3, 4), (17, 13)])
+    def test_mul(self, shape):
+        a = RNG.normal(size=shape)
+        b = RNG.normal(size=shape)
+
+        def build(cx):
+            ta = cx.tensor(shape).set(a)
+            tb = cx.tensor(shape).set(b)
+            return {"out": ta * tb}
+
+        out = run_graph(build)
+        assert_close(out["out"], a * b, tol=2e-3)
+
+    def test_broadcast_add(self):
+        a = RNG.normal(size=(1, 4))
+        b = RNG.normal(size=(3, 4))
+
+        def build(cx):
+            ta = cx.tensor((1, 4)).set(a)
+            tb = cx.tensor((3, 4)).set(b)
+            return {"out": ta.expand(0, 3) + tb}
+
+        out = run_graph(build)
+        assert_close(out["out"], a + b)
+
+    def test_rem(self):
+        a = np.abs(RNG.normal(size=(3, 4))) + 1.0
+        b = np.abs(RNG.normal(size=(3, 4))) + 0.5
+
+        def build(cx):
+            ta = cx.tensor((3, 4)).set(a)
+            tb = cx.tensor((3, 4)).set(b)
+            return {"out": ta % tb}
+
+        out = run_graph(build)
+        assert_close(out["out"], np.fmod(a, b), tol=2e-3)
+
+    def test_less_than(self):
+        a = RNG.normal(size=(4, 4))
+        b = RNG.normal(size=(4, 4))
+
+        def build(cx):
+            ta = cx.tensor((4, 4)).set(a)
+            tb = cx.tensor((4, 4)).set(b)
+            return {"out": ta < tb}
+
+        out = run_graph(build)
+        assert_close(out["out"], (a < b).astype(np.float64))
+
+
+class TestUnaryOps:
+    @pytest.mark.parametrize("shape", SHAPES_UNARY)
+    def test_sin(self, shape):
+        a = RNG.normal(size=shape)
+
+        def build(cx):
+            return {"out": cx.tensor(shape).set(a).sin()}
+
+        out = run_graph(build)
+        assert_close(out["out"], np.sin(a), tol=2e-3)
+
+    def test_sqrt(self):
+        a = np.abs(RNG.normal(size=(3, 4))) + 0.1
+
+        def build(cx):
+            return {"out": cx.tensor((3, 4)).set(a).sqrt()}
+
+        out = run_graph(build)
+        assert_close(out["out"], np.sqrt(a), tol=2e-3)
+
+    def test_recip(self):
+        a = np.abs(RNG.normal(size=(3, 4))) + 0.5
+
+        def build(cx):
+            return {"out": cx.tensor((3, 4)).set(a).recip()}
+
+        out = run_graph(build)
+        assert_close(out["out"], 1.0 / a, tol=5e-3)
+
+    def test_exp2(self):
+        a = RNG.normal(size=(3, 4))
+
+        def build(cx):
+            return {"out": cx.tensor((3, 4)).set(a).exp2()}
+
+        out = run_graph(build)
+        assert_close(out["out"], np.exp2(a), tol=2e-3)
+
+    def test_log2(self):
+        a = np.abs(RNG.normal(size=(3, 4))) + 0.5
+
+        def build(cx):
+            return {"out": cx.tensor((3, 4)).set(a).log2()}
+
+        out = run_graph(build)
+        assert_close(out["out"], np.log2(a), tol=2e-3)
+
+
+class TestReduceOps:
+    @pytest.mark.parametrize("dim", [0, 1, 2])
+    def test_sum_reduce(self, dim):
+        a = RNG.normal(size=(2, 3, 5))
+
+        def build(cx):
+            return {"out": cx.tensor((2, 3, 5)).set(a).sum_reduce(dim)}
+
+        out = run_graph(build)
+        assert_close(out["out"], a.sum(axis=dim), tol=5e-3)
+
+    @pytest.mark.parametrize("dim", [0, 1, 2])
+    def test_max_reduce(self, dim):
+        a = RNG.normal(size=(2, 3, 5))
+
+        def build(cx):
+            return {"out": cx.tensor((2, 3, 5)).set(a).max_reduce(dim)}
+
+        out = run_graph(build)
+        assert_close(out["out"], a.max(axis=dim))
+
+
+class TestMovement:
+    def test_contiguous_after_slice(self):
+        a = RNG.normal(size=(2, 2))
+
+        def build(cx):
+            t = cx.tensor((2, 2)).set(a)
+            return {"out": t.slice_dim(1, 0, 1).contiguous()}
+
+        out = run_graph(build)
+        assert_close(out["out"], a[:, 0:1])
+
+    def test_permute_add(self):
+        a = RNG.normal(size=(3, 4))
+        b = RNG.normal(size=(4, 3))
+
+        def build(cx):
+            ta = cx.tensor((3, 4)).set(a)
+            tb = cx.tensor((4, 3)).set(b)
+            return {"out": ta.permute((1, 0)) + tb}
+
+        out = run_graph(build)
+        assert_close(out["out"], a.T + b)
+
+
+class TestComposite:
+    def test_matmul(self):
+        a = RNG.normal(size=(3, 4))
+        b = RNG.normal(size=(4, 2))
+
+        def build(cx):
+            ta = cx.tensor((3, 4)).set(a)
+            tb = cx.tensor((4, 2)).set(b)
+            return {"out": ta @ tb}
+
+        out = run_graph(build)
+        assert_close(out["out"], a @ b, tol=1e-2)
+
+    def test_simple_example_graph(self):
+        """The reference's examples/simple: 2x2 mul + add."""
+        a = RNG.normal(size=(2, 2))
+        b = RNG.normal(size=(2, 2))
+
+        def build(cx):
+            ta = cx.tensor((2, 2)).set(a)
+            tb = cx.tensor((2, 2)).set(b)
+            return {"out": ta * tb + ta}
+
+        out = run_graph(build)
+        assert_close(out["out"], a * b + a, tol=2e-3)
+
+    def test_tanh(self):
+        a = RNG.normal(size=(2, 3)) * 0.5
+
+        def build(cx):
+            return {"out": cx.tensor((2, 3)).set(a).tanh()}
+
+        out = run_graph(build)
+        assert_close(out["out"], np.tanh(a), tol=1e-2)
+
+    def test_relu(self):
+        a = RNG.normal(size=(3, 4))
+
+        def build(cx):
+            return {"out": cx.tensor((3, 4)).set(a).relu()}
+
+        out = run_graph(build)
+        assert_close(out["out"], np.maximum(a, 0), tol=2e-3)
