@@ -146,21 +146,21 @@ def verify_decommitment(
         known = set(s)
         nxt = comp[log - 1]
         vals_at_new = values_by_log.get(log - 1, [])
-        parent_hashes = {}
+        # Assemble all parent messages, hash the layer in one batch.
+        words = np.zeros((len(nxt), 16 + len(vals_at_new)), dtype=np.uint32)
         for idx, par in enumerate(nxt):
-            parts = []
-            for child in (2 * par, 2 * par + 1):
+            for ci, child in enumerate((2 * par, 2 * par + 1)):
                 if child in known:
-                    parts.append(np.asarray(node_hashes[child]))
+                    words[idx, ci * 8 : ci * 8 + 8] = node_hashes[child]
                 else:
                     try:
-                        parts.append(np.asarray(next(witness_iter)))
+                        words[idx, ci * 8 : ci * 8 + 8] = np.asarray(next(witness_iter))
                     except StopIteration:
                         return False
-            for v in vals_at_new:
-                parts.append(np.asarray([v[idx]], dtype=np.uint32))
-            parent_hashes[par] = blake2s.hash_words(np.concatenate(parts))
-        node_hashes = parent_hashes
+            for vi, v in enumerate(vals_at_new):
+                words[idx, 16 + vi] = v[idx]
+        digs = blake2s.hash_words(words)
+        node_hashes = {par: digs[i] for i, par in enumerate(nxt)}
         s = nxt
     if list(node_hashes) != [0]:
         return False

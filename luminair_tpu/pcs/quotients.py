@@ -20,7 +20,7 @@ crates/prover/src/prover.rs:304-312 (phase 3).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -63,11 +63,14 @@ def accumulate_quotients(
     samples: List[ColumnSample],
     column_evals: Dict[Tuple[int, int], np.ndarray],
     gamma,
+    domains: Optional[Dict[int, tuple]] = None,
 ) -> Dict[int, np.ndarray]:
-    """Prover side: quotient evaluations per commit log.
+    """Quotient evaluations per commit log, batched over positions.
 
-    column_evals: {(tree, col): (N,) uint32 committed evaluation}.
-    Returns {commit_log: (N, 4) qm31}.
+    column_evals: {(tree, col): (N,) uint32 evaluations}.  By default N is
+    the full commitment domain (prover); the verifier passes the queried
+    subset together with `domains` = {commit_log: (xs, ys)} of matching
+    point coordinates.  Returns {commit_log: (N, 4) qm31}.
     """
     # Group samples (in order) by (commit_log, point) for shared denominators.
     groups = {}
@@ -90,8 +93,12 @@ def accumulate_quotients(
     for key in order:
         batch = groups[key]
         log = batch[0][1].commit_log
-        n = 1 << log
-        xs, ys = circle.domain_points(log)
+        if domains is not None:
+            xs, ys = domains[log]
+            n = len(xs)
+        else:
+            n = 1 << log
+            xs, ys = circle.domain_points(log)
         A, B, Cc, _, _ = _sample_constants(batch[0][1])
         # Denominator on the whole domain.
         L = qm31.add(

@@ -26,7 +26,7 @@ from ..fields import qm31
 from ..crypto.merkle import MerkleTree, verify_decommitment, computed_positions
 from . import fri as fri_mod
 from .config import PcsConfig
-from .quotients import ColumnSample, accumulate_quotients, quotient_at_position
+from .quotients import ColumnSample, accumulate_quotients
 
 
 @dataclass
@@ -227,11 +227,30 @@ class CommitmentSchemeVerifier:
                     vals = np.asarray(next(vi), dtype=np.uint32)
                     opened[(t, c)] = {p: int(vals[j]) for j, p in enumerate(comp[log])}
 
-        # 5. Recompute quotients at query positions and run the FRI checks.
-        def query_eval(circle_log, pos):
-            return quotient_at_position(
-                samples, lambda t, c, p: opened[(t, c)][p], circle_log, pos, gamma
+        # 5. Recompute quotients at the query positions -- batched over
+        # positions through the same code path as the prover.
+        from .. import circle as _circle
+
+        domains = {}
+        pos_index = {}
+        for log, poss in need.items():
+            xs, ys = _circle.domain_points(log)
+            idx = np.asarray(poss, dtype=np.int64)
+            domains[log] = (xs[idx], ys[idx])
+            pos_index[log] = {int(p): j for j, p in enumerate(poss)}
+        col_arrays = {}
+        for s in samples:
+            key = (s.tree, s.col)
+            if key in col_arrays:
+                continue
+            vals = opened[key]
+            col_arrays[key] = np.array(
+                [vals[int(p)] for p in need[s.commit_log]], dtype=np.uint32
             )
+        quots = accumulate_quotients(samples, col_arrays, gamma, domains)
+
+        def query_eval(circle_log, pos):
+            return quots[circle_log][pos_index[circle_log][int(pos)]]
 
         return fri_mod.fri_check_queries(
             proof.fri_proof,
