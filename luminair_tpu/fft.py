@@ -160,6 +160,53 @@ def eval_at_point(coeffs, point):
     return a[..., 0, :]
 
 
+def basis_at_point(log_n: int, point):
+    """All 2^log_n FFT basis functions evaluated at a QM31 point, (N, 4).
+
+    b_j = prod ts[k]^bit_k(j), ts = [y, x, pi(x), ...] MSB-first; built in
+    log_n doubling steps (N total QM31 muls)."""
+    x, y = point
+    ts = [y]
+    cur_t = x
+    for _ in range(log_n - 1):
+        ts.append(cur_t)
+        cur_t = circle.pi_x_qm31(cur_t)
+    B = qm31.one((1,), np)
+    for i in range(log_n):
+        t = ts[log_n - 1 - i]
+        B = np.concatenate([B, qm31.mul(np.broadcast_to(t, B.shape), B)], axis=0)
+    return B
+
+
+def mod_dot(C, B):
+    """Modular matmul: (m, N) uint32 x (N, 4) uint32 -> (m, 4) mod p.
+
+    int64 MACs with 16-bit splitting and chunked reduction (exact)."""
+    p = np.int64(int(m31.P))
+    C64 = C.astype(np.int64)
+    Bl = (B & np.uint32(0xFFFF)).astype(np.int64)
+    Bh = (B >> np.uint32(16)).astype(np.int64)
+    n = C.shape[1]
+    chunk = 1 << 14  # products < 2^47; sums < 2^61
+    acc = np.zeros((C.shape[0], 4), dtype=np.int64)
+    for s in range(0, n, chunk):
+        lo = C64[:, s : s + chunk] @ Bl[s : s + chunk]
+        hi = C64[:, s : s + chunk] @ Bh[s : s + chunk]
+        acc = (acc + lo % p + ((hi % p) << 16)) % p
+    return (acc % p).astype(np.uint32)
+
+
+def eval_at_point_many(coeffs2d, point):
+    """Evaluate many same-size base-field coefficient vectors at one QM31
+    point: one basis vector + one modular matmul.  (C, N) -> (C, 4)."""
+    C, n = coeffs2d.shape
+    log_n = n.bit_length() - 1
+    if log_n == 0:
+        return qm31.from_m31(coeffs2d[:, 0])
+    B = basis_at_point(log_n, point)
+    return mod_dot(coeffs2d, B)
+
+
 def eval_at_point_qm31_coeffs(coeffs_qm31, point):
     """Same as eval_at_point but for QM31 coefficient vectors (..., N, 4)."""
     n = coeffs_qm31.shape[-2]

@@ -109,15 +109,21 @@ def accumulate_quotients(
             np.broadcast_to(Cc, (n, 4)),
         )
         Linv = qm31.inv(L)
+        # num = sum_i g_i*c_i(P) - (sum_i g_i*a_i)*x_P - sum_i g_i*c0_i:
+        # columns are M31, so each g_i*c_i costs 4 base muls, and the linear
+        # terms collapse to one scalar-by-x multiply for the whole group.
+        acc_a = qm31.zero((), np)
+        acc_c0 = qm31.zero((), np)
         num_acc = qm31.zero((n,), np)
         for idx, s in batch:
             _, _, _, a_coef, c0 = _sample_constants(s)
-            c_ev = qm31.from_m31(column_evals[(s.tree, s.col)])
-            num = qm31.sub(
-                qm31.sub(c_ev, qm31.mul_m31(np.broadcast_to(a_coef, (n, 4)), xs)),
-                np.broadcast_to(c0, (n, 4)),
-            )
-            num_acc = qm31.add(num_acc, qm31.mul(np.broadcast_to(gpow(idx), (n, 4)), num))
+            g = gpow(idx)
+            acc_a = qm31.add(acc_a, qm31.mul(g, a_coef))
+            acc_c0 = qm31.add(acc_c0, qm31.mul(g, c0))
+            col = column_evals[(s.tree, s.col)]
+            num_acc = qm31.add(num_acc, m31.mul(g[None, :], col[:, None]))
+        num_acc = qm31.sub(num_acc, qm31.mul_m31(np.broadcast_to(acc_a, (n, 4)), xs))
+        num_acc = qm31.sub(num_acc, np.broadcast_to(acc_c0, (n, 4)))
         q = qm31.mul(num_acc, Linv)
         if log in out:
             out[log] = qm31.add(out[log], q)

@@ -80,23 +80,37 @@ class CommitmentSchemeProver:
 
         Returns the opening proof; mixes everything into the channel."""
         ch = self.channel
-        # 1. Evaluate samples (from coefficients) and mix them.
+        # 1. Evaluate samples (from coefficients), batched per
+        # (point, size) group across columns.
+        groups = {}
+        for t, tree in enumerate(self.trees):
+            for c, pts in enumerate(sample_points[t]):
+                for pi, pt in enumerate(pts):
+                    key = (pt[0].tobytes(), pt[1].tobytes(), len(tree.coeffs[c]))
+                    groups.setdefault(key, (pt, []))[1].append((t, c, pi))
+        values = {}
+        for (pt, members) in groups.values():
+            mat = np.stack([self.trees[t].coeffs[c] for t, c, _ in members])
+            evs = fft.eval_at_point_many(mat, pt)
+            for (t, c, pi), v in zip(members, evs):
+                values[(t, c, pi)] = np.asarray(v, dtype=np.uint32)
+
         sampled_values = []
         samples: List[ColumnSample] = []
         for t, tree in enumerate(self.trees):
             tree_vals = []
             for c, pts in enumerate(sample_points[t]):
                 col_vals = []
-                for pt in pts:
-                    v = fft.eval_at_point(tree.coeffs[c], pt)
-                    col_vals.append(np.asarray(v, dtype=np.uint32))
+                for pi, pt in enumerate(pts):
+                    v = values[(t, c, pi)]
+                    col_vals.append(v)
                     samples.append(
                         ColumnSample(
                             commit_log=tree.commit_logs[c],
                             tree=t,
                             col=c,
                             point=pt,
-                            value=np.asarray(v, dtype=np.uint32),
+                            value=v,
                         )
                     )
                 tree_vals.append(col_vals)
