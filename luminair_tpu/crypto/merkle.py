@@ -61,6 +61,8 @@ class MerkleTree:
         self._build()
 
     def _build(self):
+        from ..parallel import accel
+
         prev = None
         for log in range(self.max_log, -1, -1):
             n = 1 << log
@@ -70,7 +72,7 @@ class MerkleTree:
             for c in self.cols_by_log.get(log, []):
                 parts.append(c.reshape(n, 1))
             words = np.concatenate(parts, axis=1)
-            prev = blake2s.hash_words(words)
+            prev = accel.hash_layer(words)
             self.layers[log] = prev
 
     @property

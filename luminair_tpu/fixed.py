@@ -35,9 +35,18 @@ DEFAULT_FP_SCALE = 12
 SCALE_FACTOR = np.int64(1 << DEFAULT_FP_SCALE)
 
 
+_SAFE_MAX = float(1 << 62)
+
+
 def from_float(x) -> np.ndarray:
-    """Round-to-nearest fixed encoding of floats."""
-    return np.round(np.asarray(x, dtype=np.float64) * float(SCALE_FACTOR)).astype(np.int64)
+    """Round-to-nearest fixed encoding of floats.
+
+    Values beyond +-2^62 (e.g. exp2 of large arguments) saturate instead of
+    hitting undefined float->int64 casts; like the reference, such values
+    alias mod p consistently between op execution and LUT generation."""
+    scaled = np.round(np.asarray(x, dtype=np.float64) * float(SCALE_FACTOR))
+    scaled = np.nan_to_num(scaled, nan=0.0, posinf=_SAFE_MAX, neginf=-_SAFE_MAX)
+    return np.clip(scaled, -_SAFE_MAX, _SAFE_MAX).astype(np.int64)
 
 
 def to_float(v) -> np.ndarray:

@@ -43,18 +43,26 @@ class TreeProver:
     coefficients + LDE evaluations on commit domains (trace_log + blowup)."""
 
     def __init__(self, columns: List[np.ndarray], log_blowup: int):
+        from ..parallel import accel
+
         self.log_blowup = log_blowup
         self.trace_logs = []
-        self.coeffs = []
-        self.evals = []
         for col in columns:
-            col = np.asarray(col, dtype=np.uint32)
             log = int(len(col)).bit_length() - 1
             assert 1 << log == len(col)
             self.trace_logs.append(log)
-            c = fft.ifft(col)
-            self.coeffs.append(c)
-            self.evals.append(fft.extend_coeffs_and_fft(c, log_blowup))
+        # Batch LDE per size group (one FFT kernel launch per size).
+        self.coeffs = [None] * len(columns)
+        self.evals = [None] * len(columns)
+        by_log: Dict[int, List[int]] = {}
+        for i, log in enumerate(self.trace_logs):
+            by_log.setdefault(log, []).append(i)
+        for log, idxs in by_log.items():
+            mat = np.stack([np.asarray(columns[i], dtype=np.uint32) for i in idxs])
+            coeffs, evals = accel.lde_columns(mat, log_blowup)
+            for j, i in enumerate(idxs):
+                self.coeffs[i] = np.ascontiguousarray(coeffs[j])
+                self.evals[i] = np.ascontiguousarray(evals[j])
         self.commit_logs = [l + log_blowup for l in self.trace_logs]
         self.merkle = MerkleTree(self.evals)
 
