@@ -1,0 +1,221 @@
+"""Multi-chip sharded prover kernels (jax.sharding.Mesh + pjit).
+
+The reference prover is single-process rayon/SIMD (SURVEY §2.8); its scale
+axis is trace *rows*.  Here the same hot path shards across a 2-D device
+mesh with axes ``('rows', 'cols')``:
+
+  * **LDE (iFFT + FFT)** — sharded over the *columns* axis: a commitment
+    tree holds O(100) independent columns, so each chip transforms its own
+    column slice over full rows with zero communication (the circle-FFT
+    butterflies stay chip-local).  This is the communication-optimal layout
+    for the per-tree LDE; contrast a row-sharded FFT which would need an
+    all-to-all per butterfly stage.
+  * **Merkle leaf + layer hashing** — sharded over the *rows* axis: leaves
+    are independent Blake2s messages.  The resharding between the two
+    layouts is a single XLA all-to-all over ICI.  Layer halving proceeds
+    until subtrees collapse below the shard size; the top log(n_dev) levels
+    are tiny and XLA gathers them automatically.
+  * **LogUp fraction sums** — row-sharded batched QM31 inverse plus an
+    all-reduce (psum) for the claimed sum.
+
+All kernels reuse the backend-agnostic field/FFT/hash modules (fields/,
+fft.py, crypto/blake2s.py) — the same source that runs the host numpy path,
+so device results are bit-comparable against the host prover.
+
+Reference equivalents: stwo SimdBackend LDE + rayon Merkle hashing consumed
+at crates/prover/src/prover.rs:36-46 and crates/air/src/components/*/
+witness.rs (write_trace_simd / write_interaction_trace).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def _jax():
+    import jax
+
+    return jax
+
+
+def make_mesh(n_devices: Optional[int] = None, shape: Optional[Tuple[int, int]] = None):
+    """A 2-D ('rows', 'cols') mesh over the first n_devices devices.
+
+    Default factorization puts most parallelism on 'rows' (trace length is
+    the long axis) and a small factor on 'cols'.
+    """
+    jax = _jax()
+    devs = jax.devices()
+    if n_devices is None:
+        n_devices = len(devs)
+    assert n_devices <= len(devs), f"need {n_devices} devices, have {len(devs)}"
+    if shape is None:
+        c = 2 if n_devices % 2 == 0 and n_devices > 1 else 1
+        shape = (n_devices // c, c)
+    r, c = shape
+    assert r * c == n_devices
+    mesh_devs = np.asarray(devs[:n_devices]).reshape(r, c)
+    return jax.sharding.Mesh(mesh_devs, ("rows", "cols"))
+
+
+def _sh(mesh, *spec):
+    jax = _jax()
+    return jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(*spec))
+
+
+# ---------------------------------------------------------------------------
+# Kernel bodies (traced under jit; shardings injected via constraints)
+# ---------------------------------------------------------------------------
+
+
+def _lde_body(cols, tw_inv, tw_big, log_blowup, mesh):
+    """(C, N) trace columns -> (C, N << log_blowup) LDE evaluations."""
+    import jax
+    import jax.numpy as jnp
+
+    from .. import fft
+
+    cols = jax.lax.with_sharding_constraint(cols, _sh(mesh, "cols", None))
+    coeffs = fft.ifft(cols, tw_inv)
+    n = cols.shape[-1]
+    ext = jnp.zeros(cols.shape[:-1] + (n << log_blowup,), dtype=jnp.uint32)
+    ext = ext.at[..., :: 1 << log_blowup].set(coeffs)
+    evals = fft.fft(ext, tw_big)
+    return jax.lax.with_sharding_constraint(evals, _sh(mesh, "cols", None))
+
+
+def _merkle_body(evals, mesh):
+    """Uniform-column Merkle tree (same structure as crypto.merkle.MerkleTree
+    for a single-log column set): bottom layer hashes the C column values at
+    each position, upper layers hash the 2 child digests.  Returns the root
+    digest (8,) uint32."""
+    import jax
+
+    from ..crypto import blake2s
+
+    leaves = jax.lax.with_sharding_constraint(evals.T, _sh(mesh, "rows", None))
+    layer = blake2s.hash_words(leaves)  # (M, 8)
+    while layer.shape[0] > 1:
+        layer = blake2s.hash_words(layer.reshape(-1, 16))
+    return layer[0]
+
+
+def _logup_sum_body(values, mult_m31, z, alpha, mesh):
+    """Row-sharded LogUp claimed sum: sum_i mult_i / (z - sum_k alpha^k v_ki).
+
+    values: (K, N) m31 columns entering the relation; mult_m31: (N,) m31
+    (signed multiplicities already embedded); z, alpha: (4,) QM31.
+    Returns the (4,) QM31 total — the per-component claimed_sum that the
+    global LogUp check sums to zero (air/framework.py finalize_logup).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..fields import m31, qm31
+
+    values = jax.lax.with_sharding_constraint(values, _sh(mesh, None, "rows"))
+    mult_m31 = jax.lax.with_sharding_constraint(mult_m31, _sh(mesh, "rows"))
+
+    # combine = z - sum_k alpha^k * v_k   (QM31 rows (N, 4))
+    n = values.shape[-1]
+    acc = jnp.broadcast_to(z.astype(jnp.uint32), (n, 4))
+    apow = qm31.one((), jnp)
+    for k in range(values.shape[0]):
+        term = qm31.mul_m31(jnp.broadcast_to(apow, (n, 4)), values[k])
+        acc = qm31.sub(acc, term)
+        apow = qm31.mul(apow, alpha.astype(jnp.uint32))
+    inv_d = qm31.inv(acc)  # batched QM31 inverse (Fermat chain, row-sharded)
+    frac = qm31.mul_m31(inv_d, mult_m31)
+    # All-reduce across row shards (XLA lowers to psum over ICI).
+    total = frac
+    while total.shape[0] > 1:
+        half = total.shape[0] // 2
+        total = qm31.add(total[:half], total[half : 2 * half])
+    return total[0]
+
+
+# ---------------------------------------------------------------------------
+# Jitted entry points
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _compiled_prover_step(mesh_key, log_n, log_blowup, n_cols, n_rel_cols):
+    import jax
+    import jax.numpy as jnp
+
+    from .. import circle
+
+    mesh = mesh_key.mesh
+    tw_inv = [jnp.asarray(t) for t in circle.ifft_twiddles(log_n)]
+    tw_big = [jnp.asarray(t) for t in circle.fft_twiddles(log_n + log_blowup)]
+
+    @jax.jit
+    def step(cols, mult_m31, z, alpha):
+        evals = _lde_body(cols, tw_inv, tw_big, log_blowup, mesh)
+        root = _merkle_body(evals, mesh)
+        claimed = _logup_sum_body(cols[:n_rel_cols], mult_m31, z, alpha, mesh)
+        return evals, root, claimed
+
+    return step
+
+
+class _MeshKey:
+    """Hashable wrapper so jitted steps cache per mesh."""
+
+    def __init__(self, mesh):
+        self.mesh = mesh
+        self._k = (tuple(d.id for d in mesh.devices.flat), mesh.devices.shape)
+
+    def __hash__(self):
+        return hash(self._k)
+
+    def __eq__(self, other):
+        return isinstance(other, _MeshKey) and self._k == other._k
+
+
+def prover_step(mesh, cols: np.ndarray, mult_m31: np.ndarray, z: np.ndarray,
+                alpha: np.ndarray, log_blowup: int = 1, n_rel_cols: int = 2):
+    """One sharded prover step over the mesh.
+
+    cols: (C, N) uint32 trace columns (N a power of two).
+    Returns (lde_evals (C, N<<blowup), merkle_root (8,), claimed_sum (4,)),
+    all as host numpy — bit-identical to the host (numpy) pipeline.
+    """
+    import jax.numpy as jnp
+
+    log_n = int(cols.shape[-1]).bit_length() - 1
+    assert 1 << log_n == cols.shape[-1]
+    step = _compiled_prover_step(_MeshKey(mesh), log_n, log_blowup,
+                                 cols.shape[0], n_rel_cols)
+    evals, root, claimed = step(
+        jnp.asarray(cols), jnp.asarray(mult_m31), jnp.asarray(z), jnp.asarray(alpha)
+    )
+    return np.asarray(evals), np.asarray(root), np.asarray(claimed)
+
+
+def host_reference_step(cols, mult_m31, z, alpha, log_blowup=1, n_rel_cols=2):
+    """The same step on host numpy (for differential tests)."""
+    from .. import fft
+    from ..crypto.merkle import MerkleTree
+    from ..fields import qm31
+
+    coeffs = fft.ifft(cols)
+    evals = fft.extend_coeffs_and_fft(coeffs, log_blowup)
+    tree = MerkleTree([np.ascontiguousarray(c) for c in evals])
+    values = cols[:n_rel_cols]
+    n = values.shape[-1]
+    acc = np.broadcast_to(np.asarray(z, dtype=np.uint32), (n, 4)).copy()
+    apow = qm31.one()
+    for k in range(values.shape[0]):
+        acc = qm31.sub(acc, qm31.mul_m31(np.broadcast_to(apow, (n, 4)), values[k]))
+        apow = qm31.mul(apow, np.asarray(alpha, dtype=np.uint32))
+    frac = qm31.mul_m31(qm31.inv(acc), mult_m31)
+    total = frac
+    while total.shape[0] > 1:
+        half = total.shape[0] // 2
+        total = qm31.add(total[:half], total[half : 2 * half])
+    return evals, tree.root, total[0]
