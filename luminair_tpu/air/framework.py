@@ -54,7 +54,8 @@ class Felt:
 
     @staticmethod
     def from_m31(arr):
-        return Felt(qm31.from_m31(np.asarray(arr, dtype=np.uint32)))
+        xp = m31._xp(arr)
+        return Felt(qm31.from_m31(xp.asarray(arr, dtype=xp.uint32), xp))
 
     @staticmethod
     def const(x: int):
@@ -180,19 +181,27 @@ class WitnessEval(AirEval):
         for e in self.relation_entries:
             num = e.numerator.v
             den = e.denominator.v
+            xp = m31._xp(num, den)
             if num.ndim == 1:
-                num = np.broadcast_to(num, (n, 4))
+                num = xp.broadcast_to(num, (n, 4))
             f = qm31.mul(num, qm31.inv(den))
             fracs.append(f)
         cols = []
-        row_acc = qm31.zero((n,), np)
+        row_acc = qm31.zero((n,), m31._xp(*[f for f in fracs]))
         for f in fracs:
             row_acc = qm31.add(row_acc, f)
             cols.append(row_acc)
-        # Last column: prefix sum down the rows (exact in uint64).
-        S = (np.cumsum(row_acc.astype(np.uint64), axis=0) % P64).astype(np.uint32)
+        # Last column: prefix sum down the rows.
+        xp = m31._xp(row_acc)
+        if xp is np:
+            S = (np.cumsum(row_acc.astype(np.uint64), axis=0) % P64).astype(np.uint32)
+        else:
+            # uint64 is unavailable on TPU: modular associative scan instead.
+            import jax
+
+            S = jax.lax.associative_scan(m31.add, row_acc, axis=0)
         cols[-1] = S
-        claimed_sum = S[-1].copy()
+        claimed_sum = S[-1]
         return cols, claimed_sum
 
 
@@ -206,9 +215,10 @@ class ConstraintAccumulator:
 
     def add(self, expr: Felt):
         v = expr.v
+        xp = m31._xp(v, self.acc, self._pow)
         if v.shape != self.acc.shape:
-            v = np.broadcast_to(v, self.acc.shape)
-        self.acc = qm31.add(self.acc, qm31.mul(v, np.broadcast_to(self._pow, v.shape)))
+            v = xp.broadcast_to(v, self.acc.shape)
+        self.acc = qm31.add(self.acc, qm31.mul(v, xp.broadcast_to(xp.asarray(self._pow), v.shape)))
         self._pow = qm31.mul(self._pow, self.alpha)
 
 
@@ -255,7 +265,7 @@ class DomainEval(AirEval):
             if b < last:
                 c = (col - prev_entry) * e.denominator - e.numerator
             else:
-                s_prev = Felt(np.roll(self._inter[b], self._roll, axis=0))
+                s_prev = Felt(m31._xp(self._inter[b]).roll(self._inter[b], self._roll, axis=0))
                 c = (
                     (col - s_prev - prev_entry + is_first * claimed) * e.denominator
                     - e.numerator

@@ -94,18 +94,37 @@ def _compress(xp, h, block, t: int, last: bool):
         d_init[2] ^= np.uint32(0xFFFFFFFF)
     d = xp.broadcast_to(xp.asarray(d_init, dtype=xp.uint32).reshape((4,) + (1,) * len(batch)), (4,) + batch)
 
-    for r in range(10):
-        s = SIGMA[r]
-        # Column step.
-        mx = block[s[[0, 2, 4, 6]]]
-        my = block[s[[1, 3, 5, 7]]]
-        a, b, c, d = _g_rows(a, b, c, d, mx, my)
-        # Diagonal step: rotate rows into diagonal alignment.
-        b2, c2, d2 = _roll(xp, b, -1), _roll(xp, c, -2), _roll(xp, d, -3)
-        mx = block[s[[8, 10, 12, 14]]]
-        my = block[s[[9, 11, 13, 15]]]
-        a, b2, c2, d2 = _g_rows(a, b2, c2, d2, mx, my)
-        b, c, d = _roll(xp, b2, 1), _roll(xp, c2, 2), _roll(xp, d2, 3)
+    if xp is np:
+        for r in range(10):
+            s = SIGMA[r]
+            # Column step.
+            mx = block[s[[0, 2, 4, 6]]]
+            my = block[s[[1, 3, 5, 7]]]
+            a, b, c, d = _g_rows(a, b, c, d, mx, my)
+            # Diagonal step: rotate rows into diagonal alignment.
+            b2, c2, d2 = _roll(xp, b, -1), _roll(xp, c, -2), _roll(xp, d, -3)
+            mx = block[s[[8, 10, 12, 14]]]
+            my = block[s[[9, 11, 13, 15]]]
+            a, b2, c2, d2 = _g_rows(a, b2, c2, d2, mx, my)
+            b, c, d = _roll(xp, b2, 1), _roll(xp, c2, 2), _roll(xp, d2, 3)
+    else:
+        # jnp path: scan over rounds with gathered message schedule -- 10x
+        # smaller XLA graphs than unrolling (wide unrolled ARX graphs take
+        # minutes to compile, and XLA-CPU can effectively hang on them).
+        import jax
+
+        sig = xp.asarray(SIGMA, dtype=xp.int32)
+        ix = [xp.asarray(v) for v in ([0, 2, 4, 6], [1, 3, 5, 7], [8, 10, 12, 14], [9, 11, 13, 15])]
+
+        def _round(carry, s):
+            a, b, c, d = carry
+            a, b, c, d = _g_rows(a, b, c, d, block[s[ix[0]]], block[s[ix[1]]])
+            b2, c2, d2 = _roll(xp, b, -1), _roll(xp, c, -2), _roll(xp, d, -3)
+            a, b2, c2, d2 = _g_rows(a, b2, c2, d2, block[s[ix[2]]], block[s[ix[3]]])
+            b, c, d = _roll(xp, b2, 1), _roll(xp, c2, 2), _roll(xp, d2, 3)
+            return (a, b, c, d), None
+
+        (a, b, c, d), _ = jax.lax.scan(_round, (a, b, c, d), sig)
 
     lo = xp.concatenate([a, b], axis=0)
     hi = xp.concatenate([c, d], axis=0)

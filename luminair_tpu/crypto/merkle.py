@@ -9,8 +9,12 @@ component trace columns all live in one tree, exactly like stwo's
   root = layer 0, single digest (8 uint32 words).
 
 Layer hashing is one batched ``blake2s.hash_words`` call over 2^l nodes --
-the whole tree build is ~2 vector ops per layer, which is the TPU-friendly
-formulation of the reference's rayon-parallel Merkle leaf hashing.
+the whole tree build is ~2 vector ops per layer.  When the engine is
+enabled (parallel/accel.py) and the inputs are device arrays, the ENTIRE
+tree builds in one jit call and the layers stay device-resident: only the
+root (32 bytes) and the queried openings (batched gathers) are ever
+downloaded -- the tunneled-TPU download path is ~18 MB/s, so layer
+round-trips would dominate the prover otherwise.
 
 Decommitment supports an arbitrary query set per layer (the circle-FRI fold
 chain in natural row order needs positions that are *not* projections of
@@ -46,15 +50,20 @@ def computed_positions(column_logs, queries_per_log):
     return out
 
 
+def _is_device(a) -> bool:
+    return not isinstance(a, np.ndarray)
+
+
 class MerkleTree:
     def __init__(self, columns):
-        """columns: list of uint32 arrays with power-of-two lengths."""
+        """columns: list of uint32 arrays with power-of-two lengths (host
+        numpy or device arrays -- device inputs build and stay on device)."""
         assert columns, "empty tree"
-        self.columns = [np.asarray(c, dtype=np.uint32) for c in columns]
+        self.columns = list(columns)
         self.cols_by_log = defaultdict(list)
         for c in self.columns:
-            log = int(len(c)).bit_length() - 1
-            assert 1 << log == len(c)
+            log = int(c.shape[0]).bit_length() - 1
+            assert 1 << log == c.shape[0]
             self.cols_by_log[log].append(c)
         self.max_log = max(self.cols_by_log)
         self.layers = {}  # log -> (2^log, 8) digest array
@@ -63,6 +72,16 @@ class MerkleTree:
     def _build(self):
         from ..parallel import accel
 
+        if accel.enabled() and any(_is_device(c) for c in self.columns):
+            if accel.offload_rows(1 << self.max_log):
+                self.layers = accel.merkle_layers(dict(self.cols_by_log))
+                return
+            # Small tree with device inputs: pull to host (cheap) and build
+            # with numpy -- avoids per-shape eager compiles on device.
+            self.columns = [np.asarray(c, dtype=np.uint32) for c in self.columns]
+            self.cols_by_log = defaultdict(list)
+            for c in self.columns:
+                self.cols_by_log[int(c.shape[0]).bit_length() - 1].append(c)
         prev = None
         for log in range(self.max_log, -1, -1):
             n = 1 << log
@@ -70,18 +89,19 @@ class MerkleTree:
             if prev is not None:
                 parts.append(prev.reshape(n, 16))
             for c in self.cols_by_log.get(log, []):
-                parts.append(c.reshape(n, 1))
+                parts.append(np.asarray(c, dtype=np.uint32).reshape(n, 1))
             words = np.concatenate(parts, axis=1)
-            prev = accel.hash_layer(words)
+            prev = blake2s.hash_words(words)
             self.layers[log] = prev
 
     @property
     def root(self) -> np.ndarray:
-        return self.layers[0][0]
+        return np.asarray(self.layers[0][0])
 
     def decommit(self, queries_per_log: dict):
         """Sibling digests needed to recompute the root from the queried
-        positions, in deterministic order."""
+        positions, in deterministic order.  One batched gather (and one
+        small download) per layer."""
         witness = []
         bottom = self.max_log
         comp = computed_positions([bottom] + [0], queries_per_log)
@@ -89,22 +109,42 @@ class MerkleTree:
         for log in range(bottom, 0, -1):
             layer = self.layers[log]
             nxt = comp[log - 1]
-            for par in nxt:
-                for child in (2 * par, 2 * par + 1):
-                    if child not in s:
-                        witness.append(layer[child])
+            idx = [
+                child
+                for par in nxt
+                for child in (2 * par, 2 * par + 1)
+                if child not in s
+            ]
+            if idx:
+                if _is_device(layer):
+                    from ..parallel import accel
+
+                    gathered = accel.gather_rows(layer, idx)
+                else:
+                    gathered = layer[np.asarray(idx, dtype=np.int64)]
+                witness.extend(gathered)
             s = set(nxt)
         return witness
 
     def queried_values(self, queries_per_log: dict):
         """Column values at every computed position of their layer; column
-        order == insertion order within each log, logs descending."""
+        order == insertion order within each log, logs descending.  Batched:
+        one stacked gather per log group."""
         comp = computed_positions([self.max_log] + [0], queries_per_log)
         out = []
         for log in sorted(self.cols_by_log, reverse=True):
             pos = np.asarray(comp[log], dtype=np.int64)
-            for c in self.cols_by_log[log]:
-                out.append(c[pos])
+            cols = self.cols_by_log[log]
+            if cols and any(_is_device(c) for c in cols):
+                from ..parallel import accel
+                import jax.numpy as jnp
+
+                mat = jnp.stack([jnp.asarray(c) for c in cols])  # (C, N)
+                vals = accel.gather_cols(mat, pos)  # one padded gather
+                out.extend(np.ascontiguousarray(v) for v in vals)
+            else:
+                for c in cols:
+                    out.append(np.asarray(c)[pos])
         return out
 
 

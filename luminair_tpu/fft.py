@@ -152,7 +152,7 @@ def eval_at_point(coeffs, point):
         ts.append(cur)
         cur = circle.pi_x_qm31(cur)
     # Lift coeffs to QM31 and fold from the LSB upwards.
-    a = qm31.from_m31(coeffs)  # (..., N, 4)
+    a = qm31.from_m31(coeffs, m31._xp(coeffs))  # (..., N, 4)
     for lvl in range(log_n - 1, -1, -1):
         t = ts[lvl]
         a = a.reshape(a.shape[:-2] + (a.shape[-2] // 2, 2, 4))

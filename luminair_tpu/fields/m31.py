@@ -44,13 +44,18 @@ def _quiet(xp):
     return np.errstate(over="ignore") if xp is np else _NULL_CTX
 
 
-def _xp(a):
-    """Pick the array namespace (numpy or jax.numpy) from an array."""
-    if isinstance(a, np.ndarray) or np.isscalar(a):
-        return np
-    import jax.numpy as jnp
+def _xp(*arrays):
+    """Pick the array namespace (numpy or jax.numpy) from the arguments.
 
-    return jnp
+    jax.numpy wins if ANY argument is a device array/tracer: mixed
+    numpy+device expressions must stay on device (a silent np coercion
+    would force a host download -- ruinous over the tunneled TPU link)."""
+    for a in arrays:
+        if not (isinstance(a, (np.ndarray, int, float)) or np.isscalar(a)):
+            import jax.numpy as jnp
+
+            return jnp
+    return np
 
 
 def to_m31(x, xp=np):
@@ -60,7 +65,7 @@ def to_m31(x, xp=np):
 
 
 def add(a, b):
-    xp = _xp(a)
+    xp = _xp(a, b)
     a, b = xp.asarray(a), xp.asarray(b)
     with _quiet(xp):
         s = a + b  # < 2^32, no wrap (both < 2^31)
@@ -77,7 +82,7 @@ def neg(a):
 
 
 def sub(a, b):
-    xp = _xp(a)
+    xp = _xp(a, b)
     a, b = xp.asarray(a), xp.asarray(b)
     with _quiet(xp):
         d = a + (P - b)  # <= 2P - 1 < 2^32
@@ -104,7 +109,7 @@ def _mul_wide(a, b):
 
 
 def mul(a, b):
-    xp = _xp(a)
+    xp = _xp(a, b)
     a, b = xp.asarray(a), xp.asarray(b)
     with _quiet(xp):
         hi, lo = _mul_wide(a, b)

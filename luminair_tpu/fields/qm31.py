@@ -22,8 +22,8 @@ R_IM = np.uint32(1)
 EXTENSION_DEGREE = 4
 
 
-def _xp(a):
-    return m31._xp(a)
+def _xp(*arrays):
+    return m31._xp(*arrays)
 
 
 def from_m31(a, xp=np):
@@ -70,7 +70,7 @@ def _cm_mul(ar, ai, br, bi):
 
 def mul(x, y):
     """QM31 product of (..., 4) arrays."""
-    xp = _xp(x)
+    xp = _xp(x, y)
     a, b, c, d = x[..., 0], x[..., 1], x[..., 2], x[..., 3]
     e, f, g, h = y[..., 0], y[..., 1], y[..., 2], y[..., 3]
     # (A + B u)(C + D u) = AC + R BD + (AD + BC) u  with A=(a,b), B=(c,d), ...
@@ -90,7 +90,7 @@ def mul(x, y):
 
 def mul_m31(x, s):
     """QM31 (..., 4) times base-field scalar/array s (broadcast over last axis)."""
-    xp = _xp(x)
+    xp = _xp(x, s)
     s = xp.asarray(s, dtype=xp.uint32)
     if s.ndim == x.ndim - 1 or s.ndim == 0:
         s = s[..., None] if s.ndim else s

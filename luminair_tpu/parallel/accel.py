@@ -1,33 +1,73 @@
-"""Device acceleration: run the hot prover kernels under jax.jit.
+"""Device engine: the prover's hot phases as shape-cached jitted kernels.
 
-The numeric kernels (fields/, fft.py, crypto/blake2s.py) are written
-backend-agnostically over uint32 arrays; this module wraps them in jitted,
-shape-cached entry points and manages host<->device movement.  Enable with
-``accel.enable()`` (or LUMINAIR_TPU_ACCEL=1); everything falls back to
-numpy when JAX is unavailable.
+Design constraints (measured on the tunneled TPU v5e):
+  * downloads ~18 MB/s, uploads ~530 MB/s  -> large arrays must be born on
+    device and NEVER come back (only roots, OODS scalars, and queried
+    openings are downloaded);
+  * ~1.4 ms per dispatch                   -> no eager per-op execution on
+    the hot path; every phase is one jit call, cached by shape signature.
 
-Offloaded today:
-  * batched column LDE (iFFT + strided FFT) per size group;
-  * Blake2s Merkle layer hashing (the prover's dominant cost at
-    2^18+ rows).
+The kernels themselves live in the backend-agnostic modules (fields/,
+fft.py, crypto/blake2s.py, air/framework.py): jit-tracing them with jnp
+inputs produces the TPU program, and running them with numpy produces the
+bit-identical host oracle.  This module only owns the jit plumbing:
 
-Multi-chip sharding of the same kernels lives in parallel/sharding.py.
+  lde_columns        -- per-size-group iFFT + zero-strided FFT (phase 0/1/2/3)
+  merkle_layers      -- whole Merkle tree (all layers) in one call
+  witness_interaction-- per-component LogUp interaction columns + claimed sum
+  domain_constraints -- per-component constraint eval on the commit domain,
+                        divided by the vanishing poly and interpolated
+  quotient_group     -- DEEP quotient accumulation for one (point,log) group
+  fold_circle/fold_line -- FRI folds
+  eval_at_point      -- OODS evaluation of committed coefficient batches
+
+Reference counterparts: stwo SimdBackend + rayon in
+crates/prover/src/prover.rs:36-312 and crates/air/src/components/*/
+witness.rs (SURVEY §2.8).
 """
 
 from __future__ import annotations
 
 import os
 from functools import lru_cache
-from typing import Dict, List
+from typing import Dict, List, Tuple
 
 import numpy as np
 
 _ENABLED = os.environ.get("LUMINAIR_TPU_ACCEL", "0") == "1"
 
+# Below this many rows, host numpy beats the device round trip (each new
+# eager-op shape costs a ~1 s remote compile on the tunneled TPU, and tiny
+# kernels are latency-bound anyway).  The FRI fold chain drops back to the
+# host once it shrinks below this.
+OFFLOAD_MIN_ROWS = int(os.environ.get("LUMINAIR_TPU_OFFLOAD_MIN", str(1 << 13)))
+
 
 def enable(flag: bool = True):
     global _ENABLED
     _ENABLED = flag
+    if flag:
+        _persistent_cache()
+
+
+def _persistent_cache():
+    """Cache compiled executables across processes (cold-start killer)."""
+    try:
+        import jax
+
+        if not jax.config.jax_compilation_cache_dir:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.path.join(os.path.expanduser("~"), ".cache", "luminair_jax"),
+            )
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+    except Exception:
+        pass
+
+
+def offload_rows(n: int) -> bool:
+    """Should an n-row structure live on device?"""
+    return enabled() and n >= OFFLOAD_MIN_ROWS
 
 
 def enabled() -> bool:
@@ -41,14 +81,35 @@ def enabled() -> bool:
         return False
 
 
+def device_put(x):
+    if not enabled():
+        return np.asarray(x)
+    import jax.numpy as jnp
+
+    return jnp.asarray(x)
+
+
+def to_host(x) -> np.ndarray:
+    return np.asarray(x)
+
+
+def is_device(x) -> bool:
+    return not isinstance(x, np.ndarray)
+
+
+# ---------------------------------------------------------------------------
+# LDE
+# ---------------------------------------------------------------------------
+
+
 @lru_cache(maxsize=None)
-def _jit_lde(log_n: int, log_blowup: int, n_cols: int):
+def _jit_lde(log_n: int, log_blowup: int):
     import jax
     import jax.numpy as jnp
 
     from .. import circle, fft
 
-    tw_inv = [jnp.asarray(t) for t in circle.ifft_twiddles(log_n)]
+    tw_inv = [jnp.asarray(t) for t in circle.ifft_twiddles(log_n)] if log_n else []
     tw_big = [jnp.asarray(t) for t in circle.fft_twiddles(log_n + log_blowup)]
 
     @jax.jit
@@ -62,23 +123,32 @@ def _jit_lde(log_n: int, log_blowup: int, n_cols: int):
     return run
 
 
-def lde_columns(cols: np.ndarray, log_blowup: int):
-    """(C, N) -> (coeffs (C, N), evals (C, N << log_blowup))."""
+def lde_columns(cols, log_blowup: int):
+    """(C, N) -> (coeffs (C, N), evals (C, N << log_blowup)).
+
+    Device path returns DEVICE arrays (callers keep them resident)."""
     if not enabled():
         from .. import fft
 
-        coeffs = fft.ifft(cols)
+        coeffs = fft.ifft(np.asarray(cols))
         return coeffs, fft.extend_coeffs_and_fft(coeffs, log_blowup)
     import jax.numpy as jnp
 
     log_n = int(cols.shape[-1]).bit_length() - 1
-    run = _jit_lde(log_n, log_blowup, cols.shape[0])
-    coeffs, evals = run(jnp.asarray(cols))
-    return np.asarray(coeffs), np.asarray(evals)
+    return _jit_lde(log_n, log_blowup)(jnp.asarray(cols))
+
+
+# ---------------------------------------------------------------------------
+# Merkle
+# ---------------------------------------------------------------------------
 
 
 @lru_cache(maxsize=None)
-def _jit_hash(n_nodes: int, n_words: int):
+def _jit_hash_layer(n_nodes: int, n_words: int):
+    """One Merkle layer hash, cached by shape.  Layer shapes repeat heavily
+    across trees (every parent layer is (n, 16)), so compiles amortize over
+    the whole proof -- one whole-tree jit would recompile per tree column
+    signature instead."""
     import jax
 
     from ..crypto import blake2s
@@ -86,13 +156,368 @@ def _jit_hash(n_nodes: int, n_words: int):
     return jax.jit(blake2s.hash_words)
 
 
-def hash_layer(words: np.ndarray) -> np.ndarray:
-    """Batched Blake2s over (n_nodes, n_words) messages."""
-    from ..crypto import blake2s
-
-    if not enabled() or words.shape[0] < (1 << 14):
-        return blake2s.hash_words(words)
+def merkle_layers(cols_by_log: Dict[int, list]) -> Dict[int, "np.ndarray"]:
+    """Build all tree layers on device.  cols_by_log: {log: [(N,) columns]}
+    (columns may be host or device).  Returns {log: (2^log, 8) digests}
+    as DEVICE arrays.  Per-layer jitted hashing; arrays never leave the
+    device between layers."""
     import jax.numpy as jnp
 
-    run = _jit_hash(words.shape[0], words.shape[1])
-    return np.asarray(run(jnp.asarray(words)))
+    max_log = max(cols_by_log)
+    layers = {}
+    prev = None
+    for log in range(max_log, -1, -1):
+        n = 1 << log
+        parts = []
+        if prev is not None:
+            parts.append(prev.reshape(n, 16))
+        if log in cols_by_log:
+            parts.append(jnp.stack([jnp.asarray(c) for c in cols_by_log[log]], axis=1))
+        words = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+        prev = _jit_hash_layer(n, int(words.shape[1]))(words)
+        layers[log] = prev
+    return layers
+
+
+@lru_cache(maxsize=None)
+def _jit_gather_cols(shape: tuple, pad: int, axis: int):
+    import jax
+
+    def run(mat, idx):
+        return mat[:, idx] if axis == 1 else mat[idx]
+
+    return jax.jit(run)
+
+
+def _pad_len(k: int) -> int:
+    p = 32
+    while p < k:
+        p <<= 1
+    return p
+
+
+def gather_rows(mat, positions) -> np.ndarray:
+    """Device gather mat[positions] (axis 0) with the index vector padded to
+    a power of two so the executable shape is stable across proofs (query
+    sets vary per proof; unpadded gathers would recompile every time)."""
+    k = len(positions)
+    pad = _pad_len(k)
+    idx = np.zeros(pad, dtype=np.int64)
+    idx[:k] = positions
+    import jax.numpy as jnp
+
+    out = _jit_gather_cols(tuple(mat.shape), pad, 0)(mat, jnp.asarray(idx))
+    return np.asarray(out)[:k]
+
+
+def gather_cols(mat, positions) -> np.ndarray:
+    """Device gather mat[:, positions] with padded static shape."""
+    k = len(positions)
+    pad = _pad_len(k)
+    idx = np.zeros(pad, dtype=np.int64)
+    idx[:k] = positions
+    import jax.numpy as jnp
+
+    out = _jit_gather_cols(tuple(mat.shape), pad, 1)(mat, jnp.asarray(idx))
+    return np.asarray(out)[:, :k]
+
+
+def hash_layer(words: np.ndarray) -> np.ndarray:
+    """Batched Blake2s over (n_nodes, n_words) messages (host fallback)."""
+    from ..crypto import blake2s
+
+    return blake2s.hash_words(words)
+
+
+# ---------------------------------------------------------------------------
+# Interaction elements flattening (LookupElements <-> traced arrays)
+# ---------------------------------------------------------------------------
+
+
+def flatten_elems(elems: Dict) -> Tuple[tuple, list]:
+    names = tuple(sorted(elems))
+    sizes = tuple(int(elems[n].size) for n in names)
+    flat = []
+    for n in names:
+        flat.append(np.asarray(elems[n].z, dtype=np.uint32))
+        flat.append(np.asarray(elems[n].alpha, dtype=np.uint32))
+    return (names, sizes), flat
+
+
+def _rebuild_elems(spec, flat):
+    from ..air.framework import LookupElements
+
+    names, sizes = spec
+    return {
+        n: LookupElements(flat[2 * i], flat[2 * i + 1], sizes[i])
+        for i, n in enumerate(names)
+    }
+
+
+# ---------------------------------------------------------------------------
+# Phase 2: per-component interaction columns
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _jit_witness(comp_name: str, n_rows: int, main_names: tuple, pp_ids: tuple,
+                 elem_spec: tuple):
+    import jax
+
+    from ..air.components import COMPONENTS_BY_NAME
+    from ..air.framework import WitnessEval
+
+    comp = COMPONENTS_BY_NAME[comp_name]
+
+    @jax.jit
+    def run(main_list, pp_list, elem_flat):
+        wev = WitnessEval(dict(zip(main_names, main_list)), dict(zip(pp_ids, pp_list)))
+        comp.evaluate(wev, _rebuild_elems(elem_spec, elem_flat))
+        cols_q, claimed = wev.build_interaction()
+        return cols_q, claimed
+
+    return run
+
+
+def witness_interaction(comp, padded: Dict[str, np.ndarray], pp_by_id, elems):
+    """Device path for WitnessEval + build_interaction."""
+    import jax.numpy as jnp
+
+    main_names = tuple(comp.MAIN)
+    pp_ids = tuple(comp.PP_IDS)
+    spec, flat = flatten_elems(elems)
+    n_rows = int(np.shape(padded[main_names[0]])[0]) if main_names else 0
+    run = _jit_witness(comp.name, n_rows, main_names, pp_ids, spec)
+    cols_q, claimed = run(
+        [jnp.asarray(padded[n]) for n in main_names],
+        [jnp.asarray(pp_by_id[p]) for p in pp_ids],
+        [jnp.asarray(f) for f in flat],
+    )
+    return cols_q, claimed
+
+
+# ---------------------------------------------------------------------------
+# Phase 3a: per-component constraint evaluation -> composition contribution
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _jit_domain(comp_name: str, eval_log: int, trace_log: int, main_names: tuple,
+                pp_ids: tuple, elem_spec: tuple, roll_stride: int):
+    import jax
+    import jax.numpy as jnp
+
+    from .. import circle, fft
+    from ..air.components import COMPONENTS_BY_NAME
+    from ..air.framework import ConstraintAccumulator, DomainEval
+    from ..fields import m31
+
+    comp = COMPONENTS_BY_NAME[comp_name]
+    xs, _ = circle.domain_points(eval_log)
+    vinv = jnp.asarray(m31.inv(circle.coset_vanishing_eval(xs, trace_log, eval_log)))
+    tw_inv = [jnp.asarray(t) for t in circle.ifft_twiddles(eval_log)]
+
+    @jax.jit
+    def run(main_list, pp_list, inter_list, is_first, claimed, alpha, acc_pow,
+            elem_flat):
+        acc = ConstraintAccumulator(alpha, (1 << eval_log,))
+        acc._pow = acc_pow
+        dev = DomainEval(
+            dict(zip(main_names, main_list)),
+            dict(zip(pp_ids, pp_list)),
+            inter_list,
+            is_first,
+            claimed,
+            acc,
+            roll_stride=roll_stride,
+        )
+        comp.evaluate(dev, _rebuild_elems(elem_spec, elem_flat))
+        q = m31.mul(acc.acc, vinv[:, None])
+        coeffs = fft.ifft(jnp.transpose(q).reshape(4, -1), tw_inv)
+        return coeffs, acc._pow
+
+    return run
+
+
+def domain_constraints(comp, eval_log, trace_log, main_evals, pp_evals,
+                       inter_evals, is_first_evals, claimed, alpha, acc_pow,
+                       elems, roll_stride=2):
+    import jax.numpy as jnp
+
+    main_names = tuple(comp.MAIN)
+    pp_ids = tuple(comp.PP_IDS)
+    spec, flat = flatten_elems(elems)
+    run = _jit_domain(comp.name, eval_log, trace_log, main_names, pp_ids, spec,
+                      roll_stride)
+    return run(
+        [jnp.asarray(main_evals[n]) for n in main_names],
+        [jnp.asarray(pp_evals[p]) for p in pp_ids],
+        [jnp.asarray(e) for e in inter_evals],
+        jnp.asarray(is_first_evals),
+        jnp.asarray(claimed),
+        jnp.asarray(alpha),
+        jnp.asarray(acc_pow),
+        [jnp.asarray(f) for f in flat],
+    )
+
+
+# ---------------------------------------------------------------------------
+# DEEP quotient group
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _jit_quotient_group(log: int, n_samples: int):
+    import jax
+    import jax.numpy as jnp
+
+    from .. import circle
+    from ..fields import m31, qm31
+
+    xs_h, ys_h = circle.domain_points(log)
+    xs, ys = jnp.asarray(xs_h), jnp.asarray(ys_h)
+    n = 1 << log
+
+    @jax.jit
+    def run(cols, gs, A, B, Cc, acc_a, acc_c0):
+        # cols: (S, N) m31; gs: (S, 4) gamma powers.
+        L = qm31.add(
+            qm31.sub(
+                qm31.mul_m31(jnp.broadcast_to(A, (n, 4)), xs),
+                qm31.mul_m31(jnp.broadcast_to(B, (n, 4)), ys),
+            ),
+            jnp.broadcast_to(Cc, (n, 4)),
+        )
+        Linv = qm31.inv(L)
+        num = qm31.zero((n,), jnp)
+        for s in range(n_samples):
+            num = qm31.add(num, m31.mul(gs[s][None, :], cols[s][:, None]))
+        num = qm31.sub(num, qm31.mul_m31(jnp.broadcast_to(acc_a, (n, 4)), xs))
+        num = qm31.sub(num, jnp.broadcast_to(acc_c0, (n, 4)))
+        return qm31.mul(num, Linv)
+
+    return run
+
+
+def quotient_group(log, cols, gs, A, B, Cc, acc_a, acc_c0):
+    import jax.numpy as jnp
+
+    run = _jit_quotient_group(log, len(cols))
+    return run(
+        jnp.stack([jnp.asarray(c) for c in cols]),
+        jnp.asarray(np.stack([np.asarray(g) for g in gs])),
+        jnp.asarray(A), jnp.asarray(B), jnp.asarray(Cc),
+        jnp.asarray(acc_a), jnp.asarray(acc_c0),
+    )
+
+
+# ---------------------------------------------------------------------------
+# FRI folds
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _jit_fold_circle(circle_log: int):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(values, alpha):
+        from ..pcs import fri as fri_mod
+
+        return fri_mod.fold_circle_to_line(values, circle_log, alpha)
+
+    return run
+
+
+@lru_cache(maxsize=None)
+def _jit_fold_line(line_log: int, kmax: int, mix: bool):
+    import jax
+    import jax.numpy as jnp
+
+    from .. import circle
+    from ..fields import qm31
+    from ..pcs import fri as fri_mod
+
+    t_inv = jnp.asarray(circle.ifft_twiddles(kmax)[kmax - line_log])
+
+    @jax.jit
+    def run(values, alpha, mix_vals=None):
+        out = fri_mod.fold_line(values, t_inv, alpha)
+        if mix:
+            alpha2 = qm31.mul(alpha, alpha)
+            out = qm31.add(out, qm31.mul(jnp.broadcast_to(alpha2, out.shape), mix_vals))
+        return out
+
+    return run
+
+
+def fold_circle(values, circle_log: int, alpha):
+    import jax.numpy as jnp
+
+    return _jit_fold_circle(circle_log)(jnp.asarray(values), jnp.asarray(alpha))
+
+
+def fold_line(values, line_log: int, kmax: int, alpha, mix_vals=None):
+    import jax.numpy as jnp
+
+    run = _jit_fold_line(line_log, kmax, mix_vals is not None)
+    if mix_vals is None:
+        return run(jnp.asarray(values), jnp.asarray(alpha))
+    return run(jnp.asarray(values), jnp.asarray(alpha), jnp.asarray(mix_vals))
+
+
+# ---------------------------------------------------------------------------
+# Plain forward FFT (composition polynomial commit)
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _jit_fft(log_n: int):
+    import jax
+    import jax.numpy as jnp
+
+    from .. import circle, fft
+
+    tw = [jnp.asarray(t) for t in circle.fft_twiddles(log_n)]
+
+    @jax.jit
+    def run(coeffs):
+        return fft.fft(coeffs, tw)
+
+    return run
+
+
+def fft_eval(coeffs):
+    import jax.numpy as jnp
+
+    log_n = int(coeffs.shape[-1]).bit_length() - 1
+    return _jit_fft(log_n)(jnp.asarray(coeffs))
+
+
+# ---------------------------------------------------------------------------
+# OODS evaluation
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _jit_eval_at_point(n_cols: int, log_n: int):
+    import jax
+
+    from .. import fft
+
+    @jax.jit
+    def run(mat, px, py):
+        # Horner-style basis fold (fft.eval_at_point) -- mod_dot's int64
+        # matmul path is host-only (no 64-bit ints on the TPU VPU).
+        return fft.eval_at_point(mat, (px, py))
+
+    return run
+
+
+def eval_at_point_many(mat, point):
+    import jax.numpy as jnp
+
+    log_n = int(mat.shape[-1]).bit_length() - 1
+    run = _jit_eval_at_point(int(mat.shape[0]), log_n)
+    return run(jnp.asarray(mat), jnp.asarray(point[0]), jnp.asarray(point[1]))

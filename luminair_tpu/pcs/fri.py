@@ -41,7 +41,9 @@ _INV2 = np.uint32((int(m31.P) + 1) // 2)
 
 def _qm31_cols(ev):
     """(N, 4) qm31 evaluation -> list of 4 (N,) m31 columns."""
-    return [np.ascontiguousarray(ev[:, i]) for i in range(4)]
+    if isinstance(ev, np.ndarray):
+        return [np.ascontiguousarray(ev[:, i]) for i in range(4)]
+    return [ev[:, i] for i in range(4)]
 
 
 def _cols_qm31(cols):
@@ -59,7 +61,8 @@ def fold_circle_to_line(values, circle_log: int, alpha):
     v1 = values[n // 2 :][::-1]
     e = m31.mul(m31.add(v0, v1), _INV2)
     o = m31.mul(m31.sub(v0, v1), tw_inv[:, None])
-    return qm31.add(e, qm31.mul(np.broadcast_to(alpha, o.shape), o))
+    xp = m31._xp(o, alpha)
+    return qm31.add(e, qm31.mul(xp.broadcast_to(xp.asarray(alpha), o.shape), o))
 
 
 def fold_line(values, line_twiddle_inv, alpha):
@@ -69,7 +72,8 @@ def fold_line(values, line_twiddle_inv, alpha):
     v1 = values[L // 2 :][::-1]
     e = m31.mul(m31.add(v0, v1), _INV2)
     o = m31.mul(m31.sub(v0, v1), line_twiddle_inv[:, None])
-    return qm31.add(e, qm31.mul(np.broadcast_to(alpha, o.shape), o))
+    xp = m31._xp(o, alpha)
+    return qm31.add(e, qm31.mul(xp.broadcast_to(xp.asarray(alpha), o.shape), o))
 
 
 @dataclass
@@ -93,8 +97,15 @@ def fri_prove(inputs: Dict[int, np.ndarray], config: FriConfig, channel) -> "tup
     last_line_log = B + config.log_last_layer_degree_bound
     assert min(logs) - 1 >= last_line_log
 
+    from ..parallel import accel
+
+    device = any(not isinstance(v, np.ndarray) for v in inputs.values())
+
     alpha0 = channel.draw_felt()
-    line_evals = {k - 1: fold_circle_to_line(inputs[k], k, alpha0) for k in logs}
+    if device:
+        line_evals = {k - 1: accel.fold_circle(inputs[k], k, alpha0) for k in logs}
+    else:
+        line_evals = {k - 1: fold_circle_to_line(inputs[k], k, alpha0) for k in logs}
 
     cur = line_evals[kmax - 1]
     cur_log = kmax - 1
@@ -109,14 +120,29 @@ def fri_prove(inputs: Dict[int, np.ndarray], config: FriConfig, channel) -> "tup
         alpha = channel.draw_felt()
         alphas.append(alpha)
         layers.append((cur_log, cur, tree))
-        t_inv = tw_inv_all[kmax - cur_log]  # x twiddles 1/(2x), len cur/2
-        cur = fold_line(cur, t_inv, alpha)
-        cur_log -= 1
-        if cur_log in line_evals and cur_log != kmax - 1:
-            alpha2 = qm31.mul(alpha, alpha)
-            cur = qm31.add(cur, qm31.mul(np.broadcast_to(alpha2, cur.shape), line_evals[cur_log]))
+        mix = cur_log - 1 in line_evals and cur_log - 1 != kmax - 1
+        if device and not accel.offload_rows(cur.shape[0]):
+            # The fold chain shrank below the offload threshold: finish on
+            # the host (downloads are tiny here).
+            device = False
+            cur = np.asarray(cur)
+            line_evals = {k: np.asarray(v) for k, v in line_evals.items()}
+        if device:
+            cur = accel.fold_line(
+                cur, cur_log, kmax, alpha,
+                mix_vals=line_evals[cur_log - 1] if mix else None,
+            )
+            cur_log -= 1
+        else:
+            t_inv = tw_inv_all[kmax - cur_log]  # x twiddles 1/(2x), len cur/2
+            cur = fold_line(cur, t_inv, alpha)
+            cur_log -= 1
+            if mix:
+                alpha2 = qm31.mul(alpha, alpha)
+                cur = qm31.add(cur, qm31.mul(np.broadcast_to(alpha2, cur.shape), line_evals[cur_log]))
 
-    # Last layer: interpolate and extract the strided coefficients.
+    # Last layer: tiny -- pull to host, interpolate, extract strided coeffs.
+    cur = np.asarray(cur)
     tw_line_inv = tw_inv_all[kmax - cur_log :]
     coeffs = fft.line_ifft_qm31(cur, tw_line_inv)
     stride = 1 << B

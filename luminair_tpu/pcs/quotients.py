@@ -90,9 +90,37 @@ def accumulate_quotients(
             gamma_pows[i] = qm31.pow_const(gamma, i)
         return gamma_pows[i]
 
+    from ..parallel import accel
+
     for key in order:
         batch = groups[key]
         log = batch[0][1].commit_log
+        device = domains is None and any(
+            not isinstance(column_evals[(s.tree, s.col)], np.ndarray)
+            for _, s in batch
+        )
+        if device:
+            # One jitted kernel per (log, batch size): scalar constants are
+            # host-precomputed (they come from channel draws / OODS values),
+            # column evaluations never leave the device.
+            A, B, Cc, _, _ = _sample_constants(batch[0][1])
+            acc_a = qm31.zero((), np)
+            acc_c0 = qm31.zero((), np)
+            gs = []
+            cols = []
+            for idx, s in batch:
+                _, _, _, a_coef, c0 = _sample_constants(s)
+                g = gpow(idx)
+                acc_a = qm31.add(acc_a, qm31.mul(g, a_coef))
+                acc_c0 = qm31.add(acc_c0, qm31.mul(g, c0))
+                gs.append(g)
+                cols.append(column_evals[(s.tree, s.col)])
+            q = accel.quotient_group(log, cols, gs, A, B, Cc, acc_a, acc_c0)
+            if log in out:
+                out[log] = qm31.add(out[log], q)
+            else:
+                out[log] = q
+            continue
         if domains is not None:
             xs, ys = domains[log]
             n = len(xs)

@@ -48,21 +48,33 @@ class TreeProver:
         self.log_blowup = log_blowup
         self.trace_logs = []
         for col in columns:
-            log = int(len(col)).bit_length() - 1
-            assert 1 << log == len(col)
+            log = int(col.shape[0]).bit_length() - 1
+            assert 1 << log == col.shape[0]
             self.trace_logs.append(log)
         # Batch LDE per size group (one FFT kernel launch per size).
+        # Device columns stay device-resident end-to-end (coeffs feed the
+        # OODS evaluation, evals feed Merkle hashing + DEEP quotients).
         self.coeffs = [None] * len(columns)
         self.evals = [None] * len(columns)
         by_log: Dict[int, List[int]] = {}
         for i, log in enumerate(self.trace_logs):
             by_log.setdefault(log, []).append(i)
         for log, idxs in by_log.items():
-            mat = np.stack([np.asarray(columns[i], dtype=np.uint32) for i in idxs])
-            coeffs, evals = accel.lde_columns(mat, log_blowup)
+            group = [columns[i] for i in idxs]
+            if any(not isinstance(c, np.ndarray) for c in group):
+                import jax.numpy as jnp
+
+                mat = jnp.stack([jnp.asarray(c) for c in group])
+                coeffs, evals = accel.lde_columns(mat, log_blowup)
+            else:
+                mat = np.stack([np.asarray(c, dtype=np.uint32) for c in group])
+                from .. import fft
+
+                coeffs = fft.ifft(mat)
+                evals = fft.extend_coeffs_and_fft(coeffs, log_blowup)
             for j, i in enumerate(idxs):
-                self.coeffs[i] = np.ascontiguousarray(coeffs[j])
-                self.evals[i] = np.ascontiguousarray(evals[j])
+                self.coeffs[i] = coeffs[j]
+                self.evals[i] = evals[j]
         self.commit_logs = [l + log_blowup for l in self.trace_logs]
         self.merkle = MerkleTree(self.evals)
 
@@ -96,10 +108,19 @@ class CommitmentSchemeProver:
                 for pi, pt in enumerate(pts):
                     key = (pt[0].tobytes(), pt[1].tobytes(), len(tree.coeffs[c]))
                     groups.setdefault(key, (pt, []))[1].append((t, c, pi))
+        from ..parallel import accel
+
         values = {}
         for (pt, members) in groups.values():
-            mat = np.stack([self.trees[t].coeffs[c] for t, c, _ in members])
-            evs = fft.eval_at_point_many(mat, pt)
+            cols = [self.trees[t].coeffs[c] for t, c, _ in members]
+            if accel.enabled() and any(not isinstance(c, np.ndarray) for c in cols):
+                import jax.numpy as jnp
+
+                mat = jnp.stack([jnp.asarray(c) for c in cols])
+                evs = np.asarray(accel.eval_at_point_many(mat, pt))
+            else:
+                mat = np.stack(cols)
+                evs = fft.eval_at_point_many(mat, pt)
             for (t, c, pi), v in zip(members, evs):
                 values[(t, c, pi)] = np.asarray(v, dtype=np.uint32)
 

@@ -44,6 +44,8 @@ class LuminairProof:
 
 
 def prove(pie: LuminairPie, settings, config: Optional[PcsConfig] = None) -> LuminairProof:
+    from .parallel import accel
+
     config = config or PcsConfig()
     assert config.log_blowup == 1, "constraint evaluation reuses commit evals (blowup 1)"
     channel = Blake2sChannel()
@@ -55,11 +57,16 @@ def prove(pie: LuminairPie, settings, config: Optional[PcsConfig] = None) -> Lum
     claim = LuminairClaim({n: t.log_size for n, t in tables.items()})
     claim.mix_into(channel)
     layout = AirLayout(claim, settings)
+    # Device execution pays per-shape compile + transfer latency; small
+    # proofs are faster end-to-end on host numpy.
+    device = accel.offload_rows(1 << claim.max_log_size)
 
     pcs = CommitmentSchemeProver(config, channel)
 
     # ---- phase 0: preprocessed -----------------------------------------
     pp_cols = layout.pp.columns()
+    if device:
+        pp_cols = [accel.device_put(c) for c in pp_cols]
     pp_ids = layout.pp.ids()
     pcs.commit(pp_cols)
     pp_by_id = dict(zip(pp_ids, pp_cols))
@@ -69,6 +76,8 @@ def prove(pie: LuminairPie, settings, config: Optional[PcsConfig] = None) -> Lum
     padded_by_comp: Dict[str, Dict[str, np.ndarray]] = {}
     for c in layout.components:
         padded = tables[c.name].padded_columns(c.MAIN)
+        if device:
+            padded = {n: accel.device_put(v) for n, v in padded.items()}
         padded_by_comp[c.name] = padded
         main_cols.extend(padded[n] for n in c.MAIN)
     pcs.commit(main_cols)
@@ -79,14 +88,24 @@ def prove(pie: LuminairPie, settings, config: Optional[PcsConfig] = None) -> Lum
     inter_qm31_by_comp: Dict[str, List[np.ndarray]] = {}
     sums: Dict[str, np.ndarray] = {}
     for c in layout.components:
-        wev = WitnessEval(padded_by_comp[c.name], pp_by_id)
-        c.evaluate(wev, elems)
-        cols_q, claimed = wev.build_interaction()
+        if device:
+            pp_sub = {p: pp_by_id[p] for p in c.PP_IDS}
+            cols_q, claimed = accel.witness_interaction(
+                c, padded_by_comp[c.name], pp_sub, elems
+            )
+            claimed = np.asarray(claimed)  # tiny: mixed into the channel
+        else:
+            wev = WitnessEval(padded_by_comp[c.name], pp_by_id)
+            c.evaluate(wev, elems)
+            cols_q, claimed = wev.build_interaction()
         inter_qm31_by_comp[c.name] = cols_q
         sums[c.name] = claimed
         for q in cols_q:
             for k in range(4):
-                inter_cols.append(np.ascontiguousarray(q[:, k]))
+                if isinstance(q, np.ndarray):
+                    inter_cols.append(np.ascontiguousarray(q[:, k]))
+                else:
+                    inter_cols.append(q[:, k])
     interaction_claim = LuminairInteractionClaim(sums)
     interaction_claim.mix_into(channel)
     pcs.commit(inter_cols)
@@ -94,7 +113,12 @@ def prove(pie: LuminairPie, settings, config: Optional[PcsConfig] = None) -> Lum
     # ---- phase 3a: composition poly ------------------------------------
     alpha = channel.draw_felt()
     comp_log = layout.composition_log
-    comp_coeffs = np.zeros((4, 1 << comp_log), dtype=np.uint32)
+    if device:
+        import jax.numpy as jnp
+
+        comp_coeffs = jnp.zeros((4, 1 << comp_log), dtype=jnp.uint32)
+    else:
+        comp_coeffs = np.zeros((4, 1 << comp_log), dtype=np.uint32)
     acc_pow = qm31.from_ints(1)
     for c in layout.components:
         n = claim.log_sizes[c.name]
@@ -110,11 +134,30 @@ def prove(pie: LuminairPie, settings, config: Optional[PcsConfig] = None) -> Lum
             pid: tree_pp.evals[layout.pp_index(pid)] for pid in list(c.PP_IDS)
         }
         b0, b1 = layout.inter_slices[c.name]
+        is_first_evals = tree_pp.evals[layout.pp_index(layout.is_first_id(c.name))]
+        claimed = (
+            qm31.from_ints(0)
+            if c.name not in sums
+            else np.asarray(sums[c.name], dtype=np.uint32)
+        )
+        stride = 1 << (comp_log - eval_log)
+        if device:
+            inter_evals = [
+                jnp.stack([tree_inter.evals[(b0 + b) * 4 + k] for k in range(4)], axis=-1)
+                for b in range(b1 - b0)
+            ]
+            coeffs, acc_pow = accel.domain_constraints(
+                c, eval_log, n, main_evals, pp_evals, inter_evals,
+                is_first_evals, claimed, alpha, acc_pow, elems,
+            )
+            comp_coeffs = comp_coeffs.at[:, ::stride].set(
+                m31.add(comp_coeffs[:, ::stride], coeffs)
+            )
+            continue
         inter_evals = [
             np.stack([tree_inter.evals[(b0 + b) * 4 + k] for k in range(4)], axis=-1)
             for b in range(b1 - b0)
         ]
-        is_first_evals = tree_pp.evals[layout.pp_index(layout.is_first_id(c.name))]
         acc = ConstraintAccumulator(alpha, (1 << eval_log,))
         acc._pow = acc_pow
         dev = DomainEval(
@@ -122,7 +165,7 @@ def prove(pie: LuminairPie, settings, config: Optional[PcsConfig] = None) -> Lum
             pp_evals,
             inter_evals,
             is_first_evals,
-            qm31.from_ints(0) if c.name not in sums else np.asarray(sums[c.name], dtype=np.uint32),
+            claimed,
             acc,
             roll_stride=2,
         )
@@ -135,11 +178,14 @@ def prove(pie: LuminairPie, settings, config: Optional[PcsConfig] = None) -> Lum
         q = m31.mul(acc.acc, vinv[:, None])
         # Interpolate and accumulate into the composition coefficients.
         coeffs = fft.ifft(np.ascontiguousarray(q.T.reshape(4, -1)))
-        stride = 1 << (comp_log - eval_log)
         comp_coeffs[:, ::stride] = m31.add(comp_coeffs[:, ::stride], coeffs)
 
-    comp_vals = fft.fft(comp_coeffs)
-    pcs.commit([np.ascontiguousarray(comp_vals[k]) for k in range(4)])
+    if device:
+        comp_vals = accel.fft_eval(comp_coeffs)
+        pcs.commit([comp_vals[k] for k in range(4)])
+    else:
+        comp_vals = fft.fft(comp_coeffs)
+        pcs.commit([np.ascontiguousarray(comp_vals[k]) for k in range(4)])
 
     # ---- phase 3b: OODS + FRI ------------------------------------------
     z = circle.point_from_t_qm31(channel.draw_felt())
