@@ -98,14 +98,17 @@ class MerkleTree:
     def root(self) -> np.ndarray:
         return np.asarray(self.layers[0][0])
 
-    def decommit(self, queries_per_log: dict):
-        """Sibling digests needed to recompute the root from the queried
-        positions, in deterministic order.  One batched gather (and one
-        small download) per layer."""
-        witness = []
+    def decommit_plan(self, queries_per_log: dict):
+        """Plan the witness gathers: returns (device_specs, assemble) where
+        assemble(gathered_results) -> witness digest list.  Device gathers
+        are deferred so callers can fuse MANY trees into one
+        ``accel.gather_many`` dispatch (one download for the whole opening
+        phase instead of one per layer per tree)."""
         bottom = self.max_log
         comp = computed_positions([bottom] + [0], queries_per_log)
         s = set(comp[bottom])
+        order = []  # ("spec", result_index) | ("host", gathered array)
+        specs = []
         for log in range(bottom, 0, -1):
             layer = self.layers[log]
             nxt = comp[log - 1]
@@ -117,35 +120,57 @@ class MerkleTree:
             ]
             if idx:
                 if _is_device(layer):
-                    from ..parallel import accel
-
-                    gathered = accel.gather_rows(layer, idx)
+                    order.append(("spec", len(specs)))
+                    specs.append((layer, idx, 0))
                 else:
-                    gathered = layer[np.asarray(idx, dtype=np.int64)]
-                witness.extend(gathered)
+                    order.append(("host", layer[np.asarray(idx, dtype=np.int64)]))
             s = set(nxt)
-        return witness
+
+        def assemble(results):
+            witness = []
+            for kind, v in order:
+                witness.extend(results[v] if kind == "spec" else v)
+            return witness
+
+        return specs, assemble
+
+    def decommit(self, queries_per_log: dict):
+        """Sibling digests needed to recompute the root from the queried
+        positions, in deterministic order."""
+        from ..parallel import accel
+
+        specs, assemble = self.decommit_plan(queries_per_log)
+        return assemble(accel.gather_many(specs))
+
+    def queried_values_plan(self, queries_per_log: dict):
+        """Plan the opened-value gathers (same deferred-spec contract as
+        decommit_plan); column order == insertion order within each log,
+        logs descending."""
+        comp = computed_positions([self.max_log] + [0], queries_per_log)
+        order = []
+        specs = []
+        for log in sorted(self.cols_by_log, reverse=True):
+            pos = comp[log]
+            for c in self.cols_by_log[log]:
+                if _is_device(c):
+                    order.append(("spec", len(specs)))
+                    specs.append((c, pos, 0))
+                else:
+                    order.append(
+                        ("host", np.asarray(c)[np.asarray(pos, dtype=np.int64)])
+                    )
+
+        def assemble(results):
+            return [results[v] if kind == "spec" else v for kind, v in order]
+
+        return specs, assemble
 
     def queried_values(self, queries_per_log: dict):
-        """Column values at every computed position of their layer; column
-        order == insertion order within each log, logs descending.  Batched:
-        one stacked gather per log group."""
-        comp = computed_positions([self.max_log] + [0], queries_per_log)
-        out = []
-        for log in sorted(self.cols_by_log, reverse=True):
-            pos = np.asarray(comp[log], dtype=np.int64)
-            cols = self.cols_by_log[log]
-            if cols and any(_is_device(c) for c in cols):
-                from ..parallel import accel
-                import jax.numpy as jnp
+        """Column values at every computed position of their layer."""
+        from ..parallel import accel
 
-                mat = jnp.stack([jnp.asarray(c) for c in cols])  # (C, N)
-                vals = accel.gather_cols(mat, pos)  # one padded gather
-                out.extend(np.ascontiguousarray(v) for v in vals)
-            else:
-                for c in cols:
-                    out.append(np.asarray(c)[pos])
-        return out
+        specs, assemble = self.queried_values_plan(queries_per_log)
+        return assemble(accel.gather_many(specs))
 
 
 def verify_decommitment(

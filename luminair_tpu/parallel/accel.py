@@ -222,6 +222,60 @@ def gather_cols(mat, positions) -> np.ndarray:
     return np.asarray(out)[:, :k]
 
 
+@lru_cache(maxsize=None)
+def _jit_gather_many(sig: tuple):
+    """sig: tuple of (shape, pad, axis) per spec.  One fused gather: every
+    result is flattened and concatenated so a single download moves ALL
+    opened values/witness digests off the device (the tunneled-TPU download
+    path charges ~10 ms latency per array; the decommit phase would
+    otherwise pay it per Merkle layer per tree)."""
+    import jax
+    import jax.numpy as jnp
+
+    def run(arrays, idxs):
+        parts = []
+        for (shape, pad, axis), a, ix in zip(sig, arrays, idxs):
+            g = jnp.take(a, ix, axis=axis)
+            parts.append(g.reshape(-1))
+        return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+    return jax.jit(run)
+
+
+def gather_many(specs) -> list:
+    """Batched device gathers: specs = [(array, positions, axis)].
+
+    Returns [np.ndarray] matching np.take(arr, positions, axis) per spec.
+    One jit dispatch + one host download for the whole batch; index vectors
+    are padded to powers of two for executable-shape stability."""
+    if not specs:
+        return []
+    import jax.numpy as jnp
+
+    sig = []
+    idxs = []
+    for arr, pos, axis in specs:
+        k = len(pos)
+        pad = _pad_len(k)
+        idx = np.zeros(pad, dtype=np.int64)
+        idx[:k] = pos
+        sig.append((tuple(arr.shape), pad, axis))
+        idxs.append(jnp.asarray(idx))
+    flat = np.asarray(
+        _jit_gather_many(tuple(sig))([a for a, _, _ in specs], idxs)
+    )
+    out = []
+    off = 0
+    for (shape, pad, axis), (arr, pos, _) in zip(sig, specs):
+        padded_shape = list(shape)
+        padded_shape[axis] = pad
+        size = int(np.prod(padded_shape))
+        block = flat[off : off + size].reshape(padded_shape)
+        off += size
+        out.append(np.ascontiguousarray(np.take(block, range(len(pos)), axis=axis)))
+    return out
+
+
 def hash_layer(words: np.ndarray) -> np.ndarray:
     """Batched Blake2s over (n_nodes, n_words) messages (host fallback)."""
     from ..crypto import blake2s

@@ -164,17 +164,34 @@ def fri_prove(inputs: Dict[int, np.ndarray], config: FriConfig, channel) -> "tup
 
 def fri_decommit(proof: FriProof, ctx, positions: np.ndarray):
     """Fill the proof's per-layer openings for the given bottom-domain
-    positions (sorted unique, at circle log kmax)."""
+    positions (sorted unique, at circle log kmax).
+
+    All layers' gathers are planned first and fused into ONE
+    ``accel.gather_many`` dispatch -- the opening phase is download-latency
+    bound, so one download for every layer beats one per layer."""
+    from ..parallel import accel
+
     kmax = ctx["kmax"]
     n = 1 << kmax
     pos = sorted({min(int(p), n - 1 - int(p)) for p in positions})  # line kmax-1
+    plans = []
     for (log, _evals, tree) in ctx["layers"]:
         with_sib = sorted({p for q in pos for p in (q, (1 << log) - 1 - q)})
         queries = {log: with_sib}
-        proof.layer_queried_values.append(tree.queried_values(queries))
-        proof.layer_witnesses.append(tree.decommit(queries))
+        plans.append((tree.queried_values_plan(queries), tree.decommit_plan(queries)))
         # fold positions to the next (log-1) layer
         pos = sorted({min(q, (1 << log) - 1 - q) for q in pos})
+    all_specs = []
+    for (q_specs, _), (d_specs, _) in plans:
+        all_specs.extend(q_specs)
+        all_specs.extend(d_specs)
+    results = accel.gather_many(all_specs)
+    off = 0
+    for (q_specs, q_asm), (d_specs, d_asm) in plans:
+        proof.layer_queried_values.append(q_asm(results[off : off + len(q_specs)]))
+        off += len(q_specs)
+        proof.layer_witnesses.append(d_asm(results[off : off + len(d_specs)]))
+        off += len(d_specs)
     return proof
 
 

@@ -169,15 +169,32 @@ class CommitmentSchemeProver:
         fri_mod.fri_decommit(fri_proof, fri_ctx, positions)
         fri_proof.pow_nonce = nonce
         need = fri_mod.needed_input_positions(positions, sorted(quotients))
-        tree_queried_values = []
-        tree_witnesses = []
+        # Tree openings: plan all gathers, one fused dispatch + download.
+        plans = []
         for tree in self.trees:
             queries = {}
             for log in set(tree.commit_logs):
                 if log in need:
                     queries[log] = need[log]
-            tree_queried_values.append(tree.merkle.queried_values(queries))
-            tree_witnesses.append(tree.merkle.decommit(queries))
+            plans.append(
+                (
+                    tree.merkle.queried_values_plan(queries),
+                    tree.merkle.decommit_plan(queries),
+                )
+            )
+        all_specs = []
+        for (q_specs, _), (d_specs, _) in plans:
+            all_specs.extend(q_specs)
+            all_specs.extend(d_specs)
+        results = accel.gather_many(all_specs)
+        tree_queried_values = []
+        tree_witnesses = []
+        off = 0
+        for (q_specs, q_asm), (d_specs, d_asm) in plans:
+            tree_queried_values.append(q_asm(results[off : off + len(q_specs)]))
+            off += len(q_specs)
+            tree_witnesses.append(d_asm(results[off : off + len(d_specs)]))
+            off += len(d_specs)
 
         return PcsProof(
             sampled_values=sampled_values,
