@@ -1,0 +1,103 @@
+"""Generate web-verifier test fixtures from the Python prover.
+
+Writes proof/settings pairs in the flat wire format (`.lmv` / `.lms`) plus
+expected-result metadata, so the node test harness (verify.test.mjs) can
+check the JS verifier end-to-end against real proofs.  Run from the repo
+root:
+
+    python ui/test/gen_fixtures.py
+
+Fixtures (committed to the repo so CI needs no Python):
+  simple.{lmv,lms}    mul+add graph (examples/simple.py shape)
+  all_ops.{lmv,lms}   every component incl. sin/exp2/log2 LUTs + range check
+  tampered.lmv        simple.lmv with one flipped trace byte (must fail)
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, REPO)
+
+from luminair_tpu.pcs.config import FriConfig, PcsConfig  # noqa: E402
+from luminair_tpu.prelude import *  # noqa: E402,F403
+from luminair_tpu import serde  # noqa: E402
+
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+
+CFG = PcsConfig(
+    pow_bits=1,
+    fri=FriConfig(log_blowup_factor=1, log_last_layer_degree_bound=0, n_queries=6),
+)
+
+
+def prove_graph(build):
+    cx = Graph()  # noqa: F405
+    build(cx)
+    cx.compile()
+    settings = gen_circuit_settings(cx)  # noqa: F405
+    pie = gen_trace(cx, settings)  # noqa: F405
+    proof = prove(pie, settings, config=CFG)  # noqa: F405
+    assert verify(proof, settings)  # noqa: F405
+    return proof, settings
+
+
+def build_simple(cx):
+    a = cx.tensor((2, 2)).set([[1.0, 2.0], [3.0, 4.0]])
+    b = cx.tensor((2, 2)).set([[10.0, 20.0], [30.0, 40.0]])
+    (a * b + a).retrieve()
+
+
+def build_all_ops(cx):
+    rng = np.random.default_rng(11)
+    a = cx.tensor((3, 4)).set(rng.uniform(0.2, 1.0, (3, 4)))
+    b = cx.tensor((3, 4)).set(rng.uniform(0.2, 1.0, (3, 4)))
+    out = (
+        (a * b + a).sin()
+        + b.sqrt().exp2()
+        + a.log2().recip()
+        + (a < b)
+        + (a % b)
+    )
+    out.sum_reduce(1).max_reduce(0).retrieve()
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    manifest = {}
+    for name, build in [("simple", build_simple), ("all_ops", build_all_ops)]:
+        proof, settings = prove_graph(build)
+        pbytes = serde.proof_to_flat_bytes(proof)
+        sbytes = serde.settings_to_flat_bytes(settings)
+        with open(os.path.join(OUT, f"{name}.lmv"), "wb") as f:
+            f.write(pbytes)
+        with open(os.path.join(OUT, f"{name}.lms"), "wb") as f:
+            f.write(sbytes)
+        manifest[name] = {
+            "proof": f"{name}.lmv",
+            "settings": f"{name}.lms",
+            "expect": "success",
+            "proof_bytes": len(pbytes),
+        }
+        if name == "simple":
+            # Flip one byte deep in the proof body (opened trace values) so
+            # parsing still succeeds but a Merkle decommitment must fail.
+            tampered = bytearray(pbytes)
+            tampered[len(tampered) // 2] ^= 0x01
+            with open(os.path.join(OUT, "tampered.lmv"), "wb") as f:
+                f.write(bytes(tampered))
+            manifest["tampered"] = {
+                "proof": "tampered.lmv",
+                "settings": "simple.lms",
+                "expect": "failure",
+            }
+    with open(os.path.join(OUT, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    print(f"wrote fixtures to {OUT}: {sorted(manifest)}")
+
+
+if __name__ == "__main__":
+    main()
