@@ -81,10 +81,16 @@ class Graph:
         time in GraphTensor.)"""
         if self.compiled:
             return
-        # copy_to after every function node
+        # copy_to after every *consumed* function node.  A function that is
+        # only retrieved (never fed into an op) gets no copy pair at all:
+        # this is the CopyCompiler dead-copy elimination of the reference
+        # (crates/graph/src/op/other.rs:22-73) done by construction -- the
+        # value would round-trip to-proof and straight back out, adding an
+        # inputs-table row that proves nothing.
+        consumed = self.consumers()
         remap: Dict[int, int] = {}
         for node in list(self.nodes):
-            if node.op == "function":
+            if node.op == "function" and consumed[node.id] > 0:
                 copy = self._add_node(
                     "copy_to", [(node.id, View.contiguous((node.out_len,)))], node.out_len
                 )
@@ -93,11 +99,15 @@ class Graph:
             if node.op == "copy_to":
                 continue
             node.srcs = [(remap.get(s, s), v) for (s, v) in node.srcs]
-        # retrieved outputs gain a copy_from
+        # retrieved outputs gain a copy_from; bare functions are retrieved
+        # directly (out-of-proof passthrough).
         new_retrieve = set()
         for rid in self.to_retrieve:
             rid = remap.get(rid, rid)
             src_node = self.nodes[rid]
+            if src_node.op == "function":
+                new_retrieve.add(rid)
+                continue
             copy = self._add_node(
                 "copy_from", [(rid, View.contiguous((src_node.out_len,)))], src_node.out_len
             )
@@ -131,10 +141,20 @@ class Graph:
         return out
 
     def expansion_adjusted_consumers(self, node_id: int) -> int:
-        """Sum over consumer edges of the broadcast expansion factor
-        (reference graph.rs:206-253)."""
+        """Sum over *in-proof* consumer edges of the broadcast expansion
+        factor (reference graph.rs:206-253).
+
+        copy_from edges are excluded: they read the buffer out of the proof
+        and have no AIR component, so they must not count toward the LogUp
+        yield multiplicity.  (The reference instead forces multiplicity 0
+        whenever is_final_output is set — graph.rs:206-253 + prim.rs:989-1009
+        — which unbalances the LogUp argument when a tensor is both
+        retrieved and consumed by later ops; excluding out-of-proof edges
+        handles the pure-output case (count 0) and the mixed case.)"""
         total = 0
         for n in self.nodes:
+            if n.op == "copy_from":
+                continue
             for s, v in n.srcs:
                 if s == node_id:
                     total += v.expansion_factor()

@@ -100,8 +100,9 @@ def _run(graph: Graph, record_trace: bool, settings: Optional[CircuitSettings],
             rc_mults = np.zeros(1 << settings.lookups.range_check_bits, dtype=np.int64)
 
     def out_mult(nid):
-        if graph.is_final_output(nid):
-            return np.uint32(0)
+        # In-proof consumer count (copy_from excluded): a pure final output
+        # yields 0, a tensor that is both retrieved and consumed yields its
+        # real consumption so the LogUp argument stays balanced.
         return np.uint32(graph.expansion_adjusted_consumers(nid) % ((1 << 31) - 1))
 
     for nid in order:
