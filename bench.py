@@ -45,33 +45,40 @@ def build_pie():
 
 
 def time_prove(pie, settings, accel_on: bool, repeats: int = 1):
+    from luminair_tpu import tracing
     from luminair_tpu.parallel import accel
     from luminair_tpu.prover import prove
 
     accel.enable(accel_on)
     best = float("inf")
     proof = None
+    phases = {}
     for _ in range(repeats):
         t0 = time.perf_counter()
         proof = prove(pie, settings)
-        best = min(best, time.perf_counter() - t0)
-    return proof, best
+        dt = time.perf_counter() - t0
+        if dt < best:
+            best = dt
+            phases = tracing.last_phases("prove")
+    return proof, best, phases
 
 
 def main():
     pie, settings, cells, trace_s = build_pie()
 
     # Host numpy baseline.
-    _, host_s = time_prove(pie, settings, accel_on=False)
+    _, host_s, _ = time_prove(pie, settings, accel_on=False)
 
     # TPU-accelerated path: one warmup (jit compile), then timed.
     time_prove(pie, settings, accel_on=True)
-    proof, tpu_s = time_prove(pie, settings, accel_on=True)
+    proof, tpu_s, phases = time_prove(pie, settings, accel_on=True)
 
     # Correctness gate: the timed proof must verify.
     from luminair_tpu.verifier import verify
 
+    t0 = time.perf_counter()
     verify(proof, settings)
+    verify_s = time.perf_counter() - t0
 
     value = cells / tpu_s
     print(
@@ -85,6 +92,8 @@ def main():
                     "tpu_prove_s": round(tpu_s, 3),
                     "host_prove_s": round(host_s, 3),
                     "gen_trace_s": round(trace_s, 3),
+                    "verify_s": round(verify_s, 3),
+                    "tpu_phases_s": phases,
                 },
             }
         )

@@ -74,13 +74,49 @@ class Graph:
     # -- compilation (StwoCompiler equivalent,
     #    reference crates/graph/src/op/prim.rs:1750-1901) ----------------
 
+    def _cse(self):
+        """Common-subexpression elimination: hash-cons pure nodes on
+        (op, source ids + views, params) and merge duplicates.
+
+        The reference gets this from luminal's GenericCompiler composed
+        before StwoCompiler (examples/simple/src/main.rs:23, SURVEY §3.1);
+        without it a reused subexpression (e.g. x.exp() appearing twice
+        inside sigmoid-heavy models) duplicates whole trace tables.  Merged
+        nodes are neutralized in place (op = 'cse_merged', no srcs) so
+        user-held node ids stay stable; they are skipped by toposort and
+        never executed or traced."""
+        canonical: Dict[tuple, int] = {}
+        remap: Dict[int, int] = {}
+        for node in self.nodes:
+            node.srcs = [(remap.get(s, s), v) for (s, v) in node.srcs]
+            if node.op == "constant":
+                key = ("constant", node.params["value"])
+            elif node.op in PRIMITIVE_OPS:
+                key = (
+                    node.op,
+                    tuple(node.srcs),
+                    tuple(sorted(node.params.items())),
+                )
+            else:
+                continue  # function/copy nodes are never merged
+            if key in canonical:
+                remap[node.id] = canonical[key]
+                node.op = "cse_merged"
+                node.srcs = []
+            else:
+                canonical[key] = node.id
+        if remap:
+            self.to_retrieve = {remap.get(r, r) for r in self.to_retrieve}
+        self._cse_remap = remap
+
     def compile(self):
-        """Insert copy_to after function nodes and copy_from before
-        retrieved outputs.  (Primitive ops are already provable ops; the
-        contiguous-insertion for non-uniform views happens at op-creation
-        time in GraphTensor.)"""
+        """CSE, then insert copy_to after function nodes and copy_from
+        before retrieved outputs.  (Primitive ops are already provable ops;
+        the contiguous-insertion for non-uniform views happens at
+        op-creation time in GraphTensor.)"""
         if self.compiled:
             return
+        self._cse()
         # copy_to after every *consumed* function node.  A function that is
         # only retrieved (never fed into an op) gets no copy pair at all:
         # this is the CopyCompiler dead-copy elimination of the reference
@@ -130,6 +166,8 @@ class Graph:
             order.append(i)
 
         for n in self.nodes:
+            if n.op == "cse_merged":
+                continue  # neutralized duplicate (see _cse)
             visit(n.id)
         return order
 
@@ -184,6 +222,8 @@ class Graph:
     def graph_viz(self) -> str:
         lines = ["digraph {"]
         for n in self.nodes:
+            if n.op == "cse_merged":
+                continue
             label = n.op
             if n.op == "constant":
                 label = f"const({n.params['value']})"
@@ -410,7 +450,8 @@ class GraphTensor:
 
     def data(self) -> np.ndarray:
         """Output values after graph execution (trace gen or execute)."""
-        out = self.graph.output_data[self.node_id]
+        remap = getattr(self.graph, "_cse_remap", {})
+        out = self.graph.output_data[remap.get(self.node_id, self.node_id)]
         return np.asarray(out, dtype=np.float64).reshape(self.shape or (-1,))
 
 

@@ -50,6 +50,77 @@ def enable(flag: bool = True):
         _persistent_cache()
 
 
+# ---------------------------------------------------------------------------
+# Device mesh: when installed, every jitted kernel below carries explicit
+# sharding constraints, so the FULL prove() pipeline runs SPMD across chips.
+#
+# Layout design (see parallel/sharding.py module docstring):
+#   * FFT/LDE kernels compute COLUMN-parallel (each chip transforms its own
+#     columns over full rows -- circle butterflies stay chip-local) and
+#     re-shard their outputs to ROW-parallel on the way out (one all-to-all
+#     per tree, XLA-inserted, rides ICI);
+#   * everything downstream -- Merkle hashing, LogUp interaction columns,
+#     constraint evaluation, DEEP quotients, FRI folds -- is row-parallel
+#     pointwise work on those row-sharded columns (zero resharding).
+# ---------------------------------------------------------------------------
+
+_MESH = None
+
+
+class MeshKey:
+    """Hashable mesh wrapper: jit caches key per mesh, and constraint
+    closures capture the mesh through it."""
+
+    __slots__ = ("mesh", "axis", "_k")
+
+    def __init__(self, mesh):
+        self.mesh = mesh
+        self.axis = mesh.axis_names[0]
+        self._k = (
+            tuple(d.id for d in mesh.devices.flat),
+            mesh.devices.shape,
+            tuple(mesh.axis_names),
+        )
+
+    def __hash__(self):
+        return hash(self._k)
+
+    def __eq__(self, other):
+        return isinstance(other, MeshKey) and self._k == other._k
+
+
+def use_mesh(mesh):
+    """Install (or clear, with None) the prover device mesh.  Must be 1-D:
+    the prover's scale axis is trace rows (SURVEY §5 "long-context"), and a
+    single named axis keeps every XLA reshard a plain all-to-all."""
+    global _MESH
+    if mesh is not None:
+        assert len(mesh.axis_names) == 1, "prover mesh must be 1-D (e.g. ('chips',))"
+    _MESH = mesh
+
+
+def current_mesh():
+    return _MESH
+
+
+def mesh_key():
+    return MeshKey(_MESH) if _MESH is not None else None
+
+
+def _shard_dim(x, mk, dim: int):
+    """Constrain x to be sharded along dimension `dim` over the mesh axis
+    (replicated elsewhere).  No-op without a mesh."""
+    if mk is None:
+        return x
+    import jax
+
+    spec = [None] * x.ndim
+    spec[dim] = mk.axis
+    return jax.lax.with_sharding_constraint(
+        x, jax.sharding.NamedSharding(mk.mesh, jax.sharding.PartitionSpec(*spec))
+    )
+
+
 def _persistent_cache():
     """Cache compiled executables across processes (cold-start killer)."""
     try:
@@ -60,7 +131,7 @@ def _persistent_cache():
                 "jax_compilation_cache_dir",
                 os.path.join(os.path.expanduser("~"), ".cache", "luminair_jax"),
             )
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass
 
@@ -103,7 +174,7 @@ def is_device(x) -> bool:
 
 
 @lru_cache(maxsize=None)
-def _jit_lde(log_n: int, log_blowup: int):
+def _jit_lde(log_n: int, log_blowup: int, mk=None):
     import jax
     import jax.numpy as jnp
 
@@ -114,11 +185,18 @@ def _jit_lde(log_n: int, log_blowup: int):
 
     @jax.jit
     def run(cols):
+        # Column-parallel transform: each chip owns whole columns, so the
+        # circle-FFT butterflies never cross a shard boundary.
+        cols = _shard_dim(cols, mk, 0)
         coeffs = fft.ifft(cols, tw_inv)
         n = cols.shape[-1]
         big = jnp.zeros(cols.shape[:-1] + (n << log_blowup,), dtype=jnp.uint32)
         big = big.at[..., :: 1 << log_blowup].set(coeffs)
-        return coeffs, fft.fft(big, tw_big)
+        evals = fft.fft(big, tw_big)
+        # Hand the results back ROW-sharded: everything downstream (Merkle
+        # leaves, constraint eval, quotients, query gathers) is row-pointwise.
+        # This is the one all-to-all per tree (XLA lowers it onto ICI).
+        return _shard_dim(coeffs, mk, 1), _shard_dim(evals, mk, 1)
 
     return run
 
@@ -135,7 +213,7 @@ def lde_columns(cols, log_blowup: int):
     import jax.numpy as jnp
 
     log_n = int(cols.shape[-1]).bit_length() - 1
-    return _jit_lde(log_n, log_blowup)(jnp.asarray(cols))
+    return _jit_lde(log_n, log_blowup, mesh_key())(jnp.asarray(cols))
 
 
 # ---------------------------------------------------------------------------
@@ -144,16 +222,20 @@ def lde_columns(cols, log_blowup: int):
 
 
 @lru_cache(maxsize=None)
-def _jit_hash_layer(n_nodes: int, n_words: int):
+def _jit_hash_layer(n_nodes: int, n_words: int, mk=None):
     """One Merkle layer hash, cached by shape.  Layer shapes repeat heavily
     across trees (every parent layer is (n, 16)), so compiles amortize over
     the whole proof -- one whole-tree jit would recompile per tree column
-    signature instead."""
+    signature instead.  Under a mesh, nodes (rows) shard across chips --
+    leaves are independent Blake2s messages."""
     import jax
 
     from ..crypto import blake2s
 
-    return jax.jit(blake2s.hash_words)
+    def run(words):
+        return blake2s.hash_words(_shard_dim(words, mk, 0))
+
+    return jax.jit(run)
 
 
 def merkle_layers(cols_by_log: Dict[int, list]) -> Dict[int, "np.ndarray"]:
@@ -163,6 +245,7 @@ def merkle_layers(cols_by_log: Dict[int, list]) -> Dict[int, "np.ndarray"]:
     device between layers."""
     import jax.numpy as jnp
 
+    mk = mesh_key()
     max_log = max(cols_by_log)
     layers = {}
     prev = None
@@ -174,7 +257,10 @@ def merkle_layers(cols_by_log: Dict[int, list]) -> Dict[int, "np.ndarray"]:
         if log in cols_by_log:
             parts.append(jnp.stack([jnp.asarray(c) for c in cols_by_log[log]], axis=1))
         words = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
-        prev = _jit_hash_layer(n, int(words.shape[1]))(words)
+        # Tiny top layers: stop forcing shards once a chip would hold < 2
+        # nodes (XLA gathers the subtree tip wherever convenient).
+        layer_mk = mk if mk is not None and n >= 2 * mk.mesh.devices.size else None
+        prev = _jit_hash_layer(n, int(words.shape[1]), layer_mk)(words)
         layers[log] = prev
     return layers
 
@@ -315,7 +401,7 @@ def _rebuild_elems(spec, flat):
 
 @lru_cache(maxsize=None)
 def _jit_witness(comp_name: str, n_rows: int, main_names: tuple, pp_ids: tuple,
-                 elem_spec: tuple):
+                 elem_spec: tuple, mk=None):
     import jax
 
     from ..air.components import COMPONENTS_BY_NAME
@@ -325,10 +411,12 @@ def _jit_witness(comp_name: str, n_rows: int, main_names: tuple, pp_ids: tuple,
 
     @jax.jit
     def run(main_list, pp_list, elem_flat):
+        main_list = [_shard_dim(c, mk, 0) for c in main_list]
+        pp_list = [_shard_dim(c, mk, 0) for c in pp_list]
         wev = WitnessEval(dict(zip(main_names, main_list)), dict(zip(pp_ids, pp_list)))
         comp.evaluate(wev, _rebuild_elems(elem_spec, elem_flat))
         cols_q, claimed = wev.build_interaction()
-        return cols_q, claimed
+        return [_shard_dim(q, mk, 0) for q in cols_q], claimed
 
     return run
 
@@ -341,7 +429,7 @@ def witness_interaction(comp, padded: Dict[str, np.ndarray], pp_by_id, elems):
     pp_ids = tuple(comp.PP_IDS)
     spec, flat = flatten_elems(elems)
     n_rows = int(np.shape(padded[main_names[0]])[0]) if main_names else 0
-    run = _jit_witness(comp.name, n_rows, main_names, pp_ids, spec)
+    run = _jit_witness(comp.name, n_rows, main_names, pp_ids, spec, mesh_key())
     cols_q, claimed = run(
         [jnp.asarray(padded[n]) for n in main_names],
         [jnp.asarray(pp_by_id[p]) for p in pp_ids],
@@ -357,11 +445,11 @@ def witness_interaction(comp, padded: Dict[str, np.ndarray], pp_by_id, elems):
 
 @lru_cache(maxsize=None)
 def _jit_domain(comp_name: str, eval_log: int, trace_log: int, main_names: tuple,
-                pp_ids: tuple, elem_spec: tuple, roll_stride: int):
+                pp_ids: tuple, elem_spec: tuple, roll_stride: int, mk=None):
     import jax
     import jax.numpy as jnp
 
-    from .. import circle, fft
+    from .. import circle
     from ..air.components import COMPONENTS_BY_NAME
     from ..air.framework import ConstraintAccumulator, DomainEval
     from ..fields import m31
@@ -369,11 +457,14 @@ def _jit_domain(comp_name: str, eval_log: int, trace_log: int, main_names: tuple
     comp = COMPONENTS_BY_NAME[comp_name]
     xs, _ = circle.domain_points(eval_log)
     vinv = jnp.asarray(m31.inv(circle.coset_vanishing_eval(xs, trace_log, eval_log)))
-    tw_inv = [jnp.asarray(t) for t in circle.ifft_twiddles(eval_log)]
 
     @jax.jit
     def run(main_list, pp_list, inter_list, is_first, claimed, alpha, acc_pow,
             elem_flat):
+        main_list = [_shard_dim(c, mk, 0) for c in main_list]
+        pp_list = [_shard_dim(c, mk, 0) for c in pp_list]
+        inter_list = [_shard_dim(c, mk, 0) for c in inter_list]
+        is_first = _shard_dim(is_first, mk, 0)
         acc = ConstraintAccumulator(alpha, (1 << eval_log,))
         acc._pow = acc_pow
         dev = DomainEval(
@@ -386,9 +477,12 @@ def _jit_domain(comp_name: str, eval_log: int, trace_log: int, main_names: tuple
             roll_stride=roll_stride,
         )
         comp.evaluate(dev, _rebuild_elems(elem_spec, elem_flat))
+        # Return the quotient EVALUATIONS (row-sharded); the caller sums
+        # same-size quotients pointwise -- at blowup 1 the biggest
+        # components' eval domain IS the composition commit domain, so no
+        # interpolation round-trip is needed for them at all.
         q = m31.mul(acc.acc, vinv[:, None])
-        coeffs = fft.ifft(jnp.transpose(q).reshape(4, -1), tw_inv)
-        return coeffs, acc._pow
+        return _shard_dim(q, mk, 0), acc._pow
 
     return run
 
@@ -396,13 +490,15 @@ def _jit_domain(comp_name: str, eval_log: int, trace_log: int, main_names: tuple
 def domain_constraints(comp, eval_log, trace_log, main_evals, pp_evals,
                        inter_evals, is_first_evals, claimed, alpha, acc_pow,
                        elems, roll_stride=2):
+    """Per-component constraint eval -> ((2^eval_log, 4) quotient evals,
+    updated alpha power)."""
     import jax.numpy as jnp
 
     main_names = tuple(comp.MAIN)
     pp_ids = tuple(comp.PP_IDS)
     spec, flat = flatten_elems(elems)
     run = _jit_domain(comp.name, eval_log, trace_log, main_names, pp_ids, spec,
-                      roll_stride)
+                      roll_stride, mesh_key())
     return run(
         [jnp.asarray(main_evals[n]) for n in main_names],
         [jnp.asarray(pp_evals[p]) for p in pp_ids],
@@ -415,13 +511,39 @@ def domain_constraints(comp, eval_log, trace_log, main_evals, pp_evals,
     )
 
 
+@lru_cache(maxsize=None)
+def _jit_ifft_t(log_n: int, mk=None):
+    import jax
+    import jax.numpy as jnp
+
+    from .. import circle, fft
+
+    tw_inv = [jnp.asarray(t) for t in circle.ifft_twiddles(log_n)]
+
+    @jax.jit
+    def run(q):
+        # (N, 4) qm31 evals -> (4, N) coordinate coefficient rows.
+        qT = _shard_dim(jnp.transpose(q), mk, 0)
+        return fft.ifft(qT, tw_inv)
+
+    return run
+
+
+def ifft_t(q):
+    """Interpolate (N, 4) qm31 evaluations into (4, N) coefficient rows."""
+    import jax.numpy as jnp
+
+    log_n = int(q.shape[0]).bit_length() - 1
+    return _jit_ifft_t(log_n, mesh_key())(jnp.asarray(q))
+
+
 # ---------------------------------------------------------------------------
 # DEEP quotient group
 # ---------------------------------------------------------------------------
 
 
 @lru_cache(maxsize=None)
-def _jit_quotient_group(log: int, n_samples: int):
+def _jit_quotient_group(log: int, n_samples: int, mk=None):
     import jax
     import jax.numpy as jnp
 
@@ -434,7 +556,8 @@ def _jit_quotient_group(log: int, n_samples: int):
 
     @jax.jit
     def run(cols, gs, A, B, Cc, acc_a, acc_c0):
-        # cols: (S, N) m31; gs: (S, 4) gamma powers.
+        # cols: (S, N) m31; gs: (S, 4) gamma powers.  Row-pointwise.
+        cols = _shard_dim(cols, mk, 1)
         L = qm31.add(
             qm31.sub(
                 qm31.mul_m31(jnp.broadcast_to(A, (n, 4)), xs),
@@ -448,7 +571,7 @@ def _jit_quotient_group(log: int, n_samples: int):
             num = qm31.add(num, m31.mul(gs[s][None, :], cols[s][:, None]))
         num = qm31.sub(num, qm31.mul_m31(jnp.broadcast_to(acc_a, (n, 4)), xs))
         num = qm31.sub(num, jnp.broadcast_to(acc_c0, (n, 4)))
-        return qm31.mul(num, Linv)
+        return _shard_dim(qm31.mul(num, Linv), mk, 0)
 
     return run
 
@@ -456,7 +579,7 @@ def _jit_quotient_group(log: int, n_samples: int):
 def quotient_group(log, cols, gs, A, B, Cc, acc_a, acc_c0):
     import jax.numpy as jnp
 
-    run = _jit_quotient_group(log, len(cols))
+    run = _jit_quotient_group(log, len(cols), mesh_key())
     return run(
         jnp.stack([jnp.asarray(c) for c in cols]),
         jnp.asarray(np.stack([np.asarray(g) for g in gs])),
@@ -471,7 +594,7 @@ def quotient_group(log, cols, gs, A, B, Cc, acc_a, acc_c0):
 
 
 @lru_cache(maxsize=None)
-def _jit_fold_circle(circle_log: int):
+def _jit_fold_circle(circle_log: int, mk=None):
     import jax
     import jax.numpy as jnp
 
@@ -479,13 +602,14 @@ def _jit_fold_circle(circle_log: int):
     def run(values, alpha):
         from ..pcs import fri as fri_mod
 
-        return fri_mod.fold_circle_to_line(values, circle_log, alpha)
+        values = _shard_dim(values, mk, 0)
+        return _shard_dim(fri_mod.fold_circle_to_line(values, circle_log, alpha), mk, 0)
 
     return run
 
 
 @lru_cache(maxsize=None)
-def _jit_fold_line(line_log: int, kmax: int, mix: bool):
+def _jit_fold_line(line_log: int, kmax: int, mix: bool, mk=None):
     import jax
     import jax.numpy as jnp
 
@@ -497,11 +621,12 @@ def _jit_fold_line(line_log: int, kmax: int, mix: bool):
 
     @jax.jit
     def run(values, alpha, mix_vals=None):
+        values = _shard_dim(values, mk, 0)
         out = fri_mod.fold_line(values, t_inv, alpha)
         if mix:
             alpha2 = qm31.mul(alpha, alpha)
             out = qm31.add(out, qm31.mul(jnp.broadcast_to(alpha2, out.shape), mix_vals))
-        return out
+        return _shard_dim(out, mk, 0)
 
     return run
 
@@ -509,13 +634,15 @@ def _jit_fold_line(line_log: int, kmax: int, mix: bool):
 def fold_circle(values, circle_log: int, alpha):
     import jax.numpy as jnp
 
-    return _jit_fold_circle(circle_log)(jnp.asarray(values), jnp.asarray(alpha))
+    mk = mesh_key() if offload_rows(int(values.shape[0])) else None
+    return _jit_fold_circle(circle_log, mk)(jnp.asarray(values), jnp.asarray(alpha))
 
 
 def fold_line(values, line_log: int, kmax: int, alpha, mix_vals=None):
     import jax.numpy as jnp
 
-    run = _jit_fold_line(line_log, kmax, mix_vals is not None)
+    mk = mesh_key() if offload_rows(int(values.shape[0])) else None
+    run = _jit_fold_line(line_log, kmax, mix_vals is not None, mk)
     if mix_vals is None:
         return run(jnp.asarray(values), jnp.asarray(alpha))
     return run(jnp.asarray(values), jnp.asarray(alpha), jnp.asarray(mix_vals))
@@ -527,7 +654,7 @@ def fold_line(values, line_log: int, kmax: int, alpha, mix_vals=None):
 
 
 @lru_cache(maxsize=None)
-def _jit_fft(log_n: int):
+def _jit_fft(log_n: int, mk=None):
     import jax
     import jax.numpy as jnp
 
@@ -537,6 +664,7 @@ def _jit_fft(log_n: int):
 
     @jax.jit
     def run(coeffs):
+        coeffs = _shard_dim(coeffs, mk, 0)  # column-parallel (rows of (C, N))
         return fft.fft(coeffs, tw)
 
     return run
@@ -546,7 +674,7 @@ def fft_eval(coeffs):
     import jax.numpy as jnp
 
     log_n = int(coeffs.shape[-1]).bit_length() - 1
-    return _jit_fft(log_n)(jnp.asarray(coeffs))
+    return _jit_fft(log_n, mesh_key())(jnp.asarray(coeffs))
 
 
 # ---------------------------------------------------------------------------
@@ -555,7 +683,7 @@ def fft_eval(coeffs):
 
 
 @lru_cache(maxsize=None)
-def _jit_eval_at_point(n_cols: int, log_n: int):
+def _jit_eval_at_point(n_cols: int, log_n: int, mk=None):
     import jax
 
     from .. import fft
@@ -564,6 +692,9 @@ def _jit_eval_at_point(n_cols: int, log_n: int):
     def run(mat, px, py):
         # Horner-style basis fold (fft.eval_at_point) -- mod_dot's int64
         # matmul path is host-only (no 64-bit ints on the TPU VPU).
+        # Row-sharded: fold pairs are ADJACENT coefficients, so every fold
+        # stage stays shard-local until the vector is tiny.
+        mat = _shard_dim(mat, mk, 1)
         return fft.eval_at_point(mat, (px, py))
 
     return run
@@ -573,5 +704,5 @@ def eval_at_point_many(mat, point):
     import jax.numpy as jnp
 
     log_n = int(mat.shape[-1]).bit_length() - 1
-    run = _jit_eval_at_point(int(mat.shape[0]), log_n)
+    run = _jit_eval_at_point(int(mat.shape[0]), log_n, mesh_key())
     return run(jnp.asarray(mat), jnp.asarray(point[0]), jnp.asarray(point[1]))

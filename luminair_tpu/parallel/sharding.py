@@ -1,38 +1,91 @@
-"""Multi-chip sharded prover kernels (jax.sharding.Mesh + pjit).
+"""Multi-chip sharding for the FULL prove() pipeline (jax.sharding.Mesh).
 
 The reference prover is single-process rayon/SIMD (SURVEY §2.8); its scale
-axis is trace *rows*.  Here the same hot path shards across a 2-D device
-mesh with axes ``('rows', 'cols')``:
+axis is trace *rows*.  Here the ENTIRE 4-phase pipeline runs SPMD over a
+1-D ``('chips',)`` mesh -- install it with :func:`prove_mesh` and call the
+ordinary ``prove()``; every jitted kernel in parallel/accel.py then carries
+explicit sharding constraints:
 
-  * **LDE (iFFT + FFT)** — sharded over the *columns* axis: a commitment
-    tree holds O(100) independent columns, so each chip transforms its own
+  * **FFT/LDE (iFFT + strided FFT)** — COLUMN-parallel: a commitment tree
+    holds O(10-100) independent columns, so each chip transforms its own
     column slice over full rows with zero communication (the circle-FFT
-    butterflies stay chip-local).  This is the communication-optimal layout
-    for the per-tree LDE; contrast a row-sharded FFT which would need an
-    all-to-all per butterfly stage.
-  * **Merkle leaf + layer hashing** — sharded over the *rows* axis: leaves
-    are independent Blake2s messages.  The resharding between the two
-    layouts is a single XLA all-to-all over ICI.  Layer halving proceeds
-    until subtrees collapse below the shard size; the top log(n_dev) levels
-    are tiny and XLA gathers them automatically.
-  * **LogUp fraction sums** — row-sharded batched QM31 inverse plus an
-    all-reduce (psum) for the claimed sum.
+    butterflies stay chip-local).  Outputs re-shard to rows on the way out:
+    ONE XLA all-to-all per tree, riding ICI.
+  * **Merkle leaf + layer hashing** — ROW-parallel: leaves are independent
+    Blake2s messages over the row-sharded columns.  Layer halving stays
+    shard-local until a chip would hold < 2 nodes; the top log(n_dev)
+    levels are tiny and unconstrained.
+  * **LogUp interaction columns** — row-parallel batched QM31 inverse; the
+    within-column prefix sum is a ``jax.lax.associative_scan`` whose carry
+    exchange XLA lowers to a log-depth collective.
+  * **Constraint evaluation / DEEP quotients** — row-pointwise on the
+    row-sharded evals, zero resharding.  At blowup 1 the largest
+    components' quotient evals sum directly into the composition
+    evaluations (no interpolation), so no cross-shard FFT exists anywhere
+    on the max-size path.
+  * **FRI folds** — row-parallel; the (i, L-1-i) pairing is a reversal of
+    the sharded axis (XLA collective-permute), and layers below the
+    offload threshold finish on the host as before.
 
-All kernels reuse the backend-agnostic field/FFT/hash modules (fields/,
-fft.py, crypto/blake2s.py) — the same source that runs the host numpy path,
-so device results are bit-comparable against the host prover.
+Because every kernel is exact field arithmetic and reductions are
+fixed-shape trees, the sharded proof is BIT-IDENTICAL to the host-numpy
+proof -- asserted by tests/test_sharding.py and __graft_entry__.py's
+dryrun.
 
-Reference equivalents: stwo SimdBackend LDE + rayon Merkle hashing consumed
-at crates/prover/src/prover.rs:36-46 and crates/air/src/components/*/
-witness.rs (write_trace_simd / write_interaction_trace).
+The legacy ``prover_step``/``make_mesh`` 2-D demo kernels below predate the
+full-pipeline sharding and remain as focused collective tests.
+
+Reference equivalents: the reference parallelizes each phase in one address
+space via rayon + SIMD (crates/prover/src/prover.rs:36-312,
+crates/air/src/components/*/witness.rs); the mesh replaces that with
+XLA-partitioned kernels + ICI collectives.
 """
 
 from __future__ import annotations
 
+import contextlib
 from functools import lru_cache, partial
 from typing import Optional, Tuple
 
 import numpy as np
+
+from . import accel
+
+
+def make_chip_mesh(n_devices: Optional[int] = None):
+    """A 1-D ('chips',) mesh over the first n_devices devices -- the mesh
+    shape the sharded prove() pipeline expects."""
+    import jax
+
+    devs = jax.devices()
+    if n_devices is None:
+        n_devices = len(devs)
+    assert n_devices <= len(devs), f"need {n_devices} devices, have {len(devs)}"
+    return jax.sharding.Mesh(np.asarray(devs[:n_devices]), ("chips",))
+
+
+@contextlib.contextmanager
+def prove_mesh(mesh, offload_min_rows: Optional[int] = None):
+    """Run the enclosed prove()/verify() calls SPMD over `mesh`.
+
+        with sharding.prove_mesh(sharding.make_chip_mesh(8)):
+            proof = prove(pie, settings)
+
+    Enables the device engine, installs the mesh into every accel kernel,
+    and (optionally) lowers the host/device offload threshold so small
+    test traces still exercise the sharded path."""
+    prev_enabled = accel.enabled()
+    prev_min = accel.OFFLOAD_MIN_ROWS
+    accel.enable(True)
+    accel.use_mesh(mesh)
+    if offload_min_rows is not None:
+        accel.OFFLOAD_MIN_ROWS = offload_min_rows
+    try:
+        yield mesh
+    finally:
+        accel.use_mesh(None)
+        accel.OFFLOAD_MIN_ROWS = prev_min
+        accel.enable(prev_enabled)
 
 
 def _jax():

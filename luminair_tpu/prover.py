@@ -44,11 +44,13 @@ class LuminairProof:
 
 
 def prove(pie: LuminairPie, settings, config: Optional[PcsConfig] = None) -> LuminairProof:
+    from . import tracing
     from .parallel import accel
 
     config = config or PcsConfig()
     assert config.log_blowup == 1, "constraint evaluation reuses commit evals (blowup 1)"
     channel = Blake2sChannel()
+    timer = tracing.start("prove")
 
     # ---- claim ----------------------------------------------------------
     tables = {n: t for n, t in pie.trace_tables.items() if t.n_rows > 0}
@@ -64,133 +66,163 @@ def prove(pie: LuminairPie, settings, config: Optional[PcsConfig] = None) -> Lum
     pcs = CommitmentSchemeProver(config, channel)
 
     # ---- phase 0: preprocessed -----------------------------------------
-    pp_cols = layout.pp.columns()
-    if device:
-        pp_cols = [accel.device_put(c) for c in pp_cols]
-    pp_ids = layout.pp.ids()
-    pcs.commit(pp_cols)
-    pp_by_id = dict(zip(pp_ids, pp_cols))
+    with timer.span("phase0_preprocessed"):
+        pp_cols = layout.pp.columns()
+        if device:
+            pp_cols = [accel.device_put(c) for c in pp_cols]
+        pp_ids = layout.pp.ids()
+        pcs.commit(pp_cols)
+        pp_by_id = dict(zip(pp_ids, pp_cols))
 
     # ---- phase 1: main trace -------------------------------------------
-    main_cols: List[np.ndarray] = []
-    padded_by_comp: Dict[str, Dict[str, np.ndarray]] = {}
-    for c in layout.components:
-        padded = tables[c.name].padded_columns(c.MAIN)
-        if device:
-            padded = {n: accel.device_put(v) for n, v in padded.items()}
-        padded_by_comp[c.name] = padded
-        main_cols.extend(padded[n] for n in c.MAIN)
-    pcs.commit(main_cols)
+    with timer.span("phase1_main"):
+        main_cols: List[np.ndarray] = []
+        padded_by_comp: Dict[str, Dict[str, np.ndarray]] = {}
+        for c in layout.components:
+            padded = tables[c.name].padded_columns(c.MAIN)
+            if device:
+                padded = {n: accel.device_put(v) for n, v in padded.items()}
+            padded_by_comp[c.name] = padded
+            main_cols.extend(padded[n] for n in c.MAIN)
+        pcs.commit(main_cols)
 
     # ---- phase 2: interaction ------------------------------------------
-    elems = layout.draw_elements(channel)
-    inter_cols: List[np.ndarray] = []
-    inter_qm31_by_comp: Dict[str, List[np.ndarray]] = {}
-    sums: Dict[str, np.ndarray] = {}
-    for c in layout.components:
-        if device:
-            pp_sub = {p: pp_by_id[p] for p in c.PP_IDS}
-            cols_q, claimed = accel.witness_interaction(
-                c, padded_by_comp[c.name], pp_sub, elems
-            )
-            claimed = np.asarray(claimed)  # tiny: mixed into the channel
-        else:
-            wev = WitnessEval(padded_by_comp[c.name], pp_by_id)
-            c.evaluate(wev, elems)
-            cols_q, claimed = wev.build_interaction()
-        inter_qm31_by_comp[c.name] = cols_q
-        sums[c.name] = claimed
-        for q in cols_q:
-            for k in range(4):
-                if isinstance(q, np.ndarray):
-                    inter_cols.append(np.ascontiguousarray(q[:, k]))
-                else:
-                    inter_cols.append(q[:, k])
-    interaction_claim = LuminairInteractionClaim(sums)
-    interaction_claim.mix_into(channel)
-    pcs.commit(inter_cols)
+    with timer.span("phase2_interaction"):
+        elems = layout.draw_elements(channel)
+        inter_cols: List[np.ndarray] = []
+        inter_qm31_by_comp: Dict[str, List[np.ndarray]] = {}
+        sums: Dict[str, np.ndarray] = {}
+        for c in layout.components:
+            if device:
+                pp_sub = {p: pp_by_id[p] for p in c.PP_IDS}
+                cols_q, claimed = accel.witness_interaction(
+                    c, padded_by_comp[c.name], pp_sub, elems
+                )
+            else:
+                wev = WitnessEval(padded_by_comp[c.name], pp_by_id)
+                c.evaluate(wev, elems)
+                cols_q, claimed = wev.build_interaction()
+            inter_qm31_by_comp[c.name] = cols_q
+            sums[c.name] = claimed
+            for q in cols_q:
+                for k in range(4):
+                    if isinstance(q, np.ndarray):
+                        inter_cols.append(np.ascontiguousarray(q[:, k]))
+                    else:
+                        inter_cols.append(q[:, k])
+        # Claimed sums are tiny; stack device-resident ones and download in
+        # ONE transfer (the tunneled-TPU link charges ~10 ms latency per
+        # download, and there is one sum per component).
+        dev_names = [n for n, v in sums.items() if not isinstance(v, np.ndarray)]
+        if dev_names:
+            import jax.numpy as jnp
+
+            stacked = np.asarray(jnp.stack([sums[n] for n in dev_names]))
+            for i, n in enumerate(dev_names):
+                sums[n] = stacked[i]
+        sums = {n: np.asarray(v, dtype=np.uint32) for n, v in sums.items()}
+        interaction_claim = LuminairInteractionClaim(sums)
+        interaction_claim.mix_into(channel)
+        pcs.commit(inter_cols)
 
     # ---- phase 3a: composition poly ------------------------------------
-    alpha = channel.draw_felt()
-    comp_log = layout.composition_log
-    if device:
-        import jax.numpy as jnp
-
-        comp_coeffs = jnp.zeros((4, 1 << comp_log), dtype=jnp.uint32)
-    else:
-        comp_coeffs = np.zeros((4, 1 << comp_log), dtype=np.uint32)
-    acc_pow = qm31.from_ints(1)
-    for c in layout.components:
-        n = claim.log_sizes[c.name]
-        eval_log = n + 1
-        tree_main = pcs.trees[1]
-        tree_pp = pcs.trees[0]
-        tree_inter = pcs.trees[2]
-        s0, s1 = layout.main_slices[c.name]
-        main_evals = {
-            name: tree_main.evals[s0 + i] for i, name in enumerate(c.MAIN)
-        }
-        pp_evals = {
-            pid: tree_pp.evals[layout.pp_index(pid)] for pid in list(c.PP_IDS)
-        }
-        b0, b1 = layout.inter_slices[c.name]
-        is_first_evals = tree_pp.evals[layout.pp_index(layout.is_first_id(c.name))]
-        claimed = (
-            qm31.from_ints(0)
-            if c.name not in sums
-            else np.asarray(sums[c.name], dtype=np.uint32)
-        )
-        stride = 1 << (comp_log - eval_log)
+    with timer.span("phase3a_composition"):
+        alpha = channel.draw_felt()
+        comp_log = layout.composition_log
+        # At blowup 1 the largest components' constraint-eval domain IS the
+        # composition commit domain (stride 1): their quotient evaluations
+        # sum pointwise into `comp_evals`, skipping the iFFT/FFT round trip
+        # entirely.  Smaller components interpolate and land in
+        # `comp_coeffs` (strided), evaluated once at the end.
+        comp_evals = None  # (2^comp_log, 4) qm31 evals
+        comp_coeffs = None  # (4, 2^comp_log) coefficient rows
+        acc_pow = qm31.from_ints(1)
         if device:
-            inter_evals = [
-                jnp.stack([tree_inter.evals[(b0 + b) * 4 + k] for k in range(4)], axis=-1)
-                for b in range(b1 - b0)
-            ]
-            coeffs, acc_pow = accel.domain_constraints(
-                c, eval_log, n, main_evals, pp_evals, inter_evals,
-                is_first_evals, claimed, alpha, acc_pow, elems,
+            import jax.numpy as jnp
+        for c in layout.components:
+            n = claim.log_sizes[c.name]
+            eval_log = n + 1
+            tree_main = pcs.trees[1]
+            tree_pp = pcs.trees[0]
+            tree_inter = pcs.trees[2]
+            s0, s1 = layout.main_slices[c.name]
+            main_evals = {
+                name: tree_main.evals[s0 + i] for i, name in enumerate(c.MAIN)
+            }
+            pp_evals = {
+                pid: tree_pp.evals[layout.pp_index(pid)] for pid in list(c.PP_IDS)
+            }
+            b0, b1 = layout.inter_slices[c.name]
+            is_first_evals = tree_pp.evals[layout.pp_index(layout.is_first_id(c.name))]
+            claimed = (
+                qm31.from_ints(0)
+                if c.name not in sums
+                else np.asarray(sums[c.name], dtype=np.uint32)
             )
-            comp_coeffs = comp_coeffs.at[:, ::stride].set(
-                m31.add(comp_coeffs[:, ::stride], coeffs)
+            stride = 1 << (comp_log - eval_log)
+            if device:
+                inter_evals = [
+                    jnp.stack([tree_inter.evals[(b0 + b) * 4 + k] for k in range(4)], axis=-1)
+                    for b in range(b1 - b0)
+                ]
+                q, acc_pow = accel.domain_constraints(
+                    c, eval_log, n, main_evals, pp_evals, inter_evals,
+                    is_first_evals, claimed, alpha, acc_pow, elems,
+                )
+            else:
+                inter_evals = [
+                    np.stack([tree_inter.evals[(b0 + b) * 4 + k] for k in range(4)], axis=-1)
+                    for b in range(b1 - b0)
+                ]
+                acc = ConstraintAccumulator(alpha, (1 << eval_log,))
+                acc._pow = acc_pow
+                dev = DomainEval(
+                    main_evals,
+                    pp_evals,
+                    inter_evals,
+                    is_first_evals,
+                    claimed,
+                    acc,
+                    roll_stride=2,
+                )
+                c.evaluate(dev, elems)
+                acc_pow = acc._pow
+                # Divide by the vanishing polynomial of the trace domain.
+                xs, _ = circle.domain_points(eval_log)
+                vinv = m31.inv(circle.coset_vanishing_eval(xs, n, eval_log))
+                q = m31.mul(acc.acc, vinv[:, None])
+            if stride == 1:
+                comp_evals = q if comp_evals is None else m31.add(comp_evals, q)
+                continue
+            coeffs = (
+                accel.ifft_t(q)
+                if device
+                else fft.ifft(np.ascontiguousarray(q.T.reshape(4, -1)))
             )
-            continue
-        inter_evals = [
-            np.stack([tree_inter.evals[(b0 + b) * 4 + k] for k in range(4)], axis=-1)
-            for b in range(b1 - b0)
-        ]
-        acc = ConstraintAccumulator(alpha, (1 << eval_log,))
-        acc._pow = acc_pow
-        dev = DomainEval(
-            main_evals,
-            pp_evals,
-            inter_evals,
-            is_first_evals,
-            claimed,
-            acc,
-            roll_stride=2,
-        )
-        c.evaluate(dev, elems)
-        acc_pow = acc._pow
-        # Divide by the vanishing polynomial of the trace domain.
-        xs, _ = circle.domain_points(eval_log)
-        v = circle.coset_vanishing_eval(xs, n, eval_log)
-        vinv = m31.inv(v)
-        q = m31.mul(acc.acc, vinv[:, None])
-        # Interpolate and accumulate into the composition coefficients.
-        coeffs = fft.ifft(np.ascontiguousarray(q.T.reshape(4, -1)))
-        comp_coeffs[:, ::stride] = m31.add(comp_coeffs[:, ::stride], coeffs)
+            if comp_coeffs is None:
+                xp = jnp if device else np
+                comp_coeffs = xp.zeros((4, 1 << comp_log), dtype=xp.uint32)
+            if device:
+                comp_coeffs = comp_coeffs.at[:, ::stride].set(
+                    m31.add(comp_coeffs[:, ::stride], coeffs)
+                )
+            else:
+                comp_coeffs[:, ::stride] = m31.add(comp_coeffs[:, ::stride], coeffs)
 
-    if device:
-        comp_vals = accel.fft_eval(comp_coeffs)
-        pcs.commit([comp_vals[k] for k in range(4)])
-    else:
-        comp_vals = fft.fft(comp_coeffs)
-        pcs.commit([np.ascontiguousarray(comp_vals[k]) for k in range(4)])
+        if comp_coeffs is not None:
+            vals_t = accel.fft_eval(comp_coeffs) if device else fft.fft(comp_coeffs)
+            extra = (jnp if device else np).moveaxis(vals_t, 0, -1)
+            comp_evals = extra if comp_evals is None else m31.add(comp_evals, extra)
+        if device:
+            pcs.commit([comp_evals[:, k] for k in range(4)])
+        else:
+            pcs.commit([np.ascontiguousarray(comp_evals[:, k]) for k in range(4)])
 
     # ---- phase 3b: OODS + FRI ------------------------------------------
-    z = circle.point_from_t_qm31(channel.draw_felt())
-    sample_points = layout.sample_points(z)
-    pcs_proof = pcs.prove_values(sample_points)
+    with timer.span("phase3b_oods_fri"):
+        z = circle.point_from_t_qm31(channel.draw_felt())
+        sample_points = layout.sample_points(z)
+        pcs_proof = pcs.prove_values(sample_points)
 
     return LuminairProof(
         claim=claim,

@@ -26,8 +26,11 @@ from .prover import LuminairProof
 
 def verify(proof: LuminairProof, settings) -> bool:
     """Raises on failure; returns True on acceptance."""
+    from . import tracing
+
     config = proof.config
     channel = Blake2sChannel()
+    timer = tracing.start("verify")
 
     claim = proof.claim
     claim.mix_into(channel)
@@ -39,10 +42,11 @@ def verify(proof: LuminairProof, settings) -> bool:
     # recommits (LDE + Merkle) -- the root must match the prover's.
     from .pcs.scheme import TreeProver
 
-    pp_cols = layout.pp.columns()
-    pp_tree = TreeProver(pp_cols, config.log_blowup)
-    if not np.array_equal(pp_tree.root, np.asarray(proof.roots[0])):
-        raise StwoVerifierError("preprocessed tree root mismatch")
+    with timer.span("preprocessed_recommit"):
+        pp_cols = layout.pp.columns()
+        pp_tree = TreeProver(pp_cols, config.log_blowup)
+        if not np.array_equal(pp_tree.root, np.asarray(proof.roots[0])):
+            raise StwoVerifierError("preprocessed tree root mismatch")
     pcs.commit(proof.roots[0], layout.pp_logs())
     pcs.commit(proof.roots[1], layout.main_logs)
 
@@ -61,46 +65,48 @@ def verify(proof: LuminairProof, settings) -> bool:
     sample_points = layout.sample_points(z)
 
     # ---- composition identity at the OODS point ------------------------
-    sv = proof.pcs_proof.sampled_values
-    acc = ConstraintAccumulator(alpha, ())
-    total = qm31.zero((), np)
-    acc_pow = qm31.from_ints(1)
-    for c in layout.components:
-        n = claim.log_sizes[c.name]
-        s0, _ = layout.main_slices[c.name]
-        main_values = {
-            name: sv[1][s0 + i][0] for i, name in enumerate(c.MAIN)
-        }
-        pp_values = {pid: sv[0][layout.pp_index(pid)][0] for pid in list(c.PP_IDS)}
-        b0, b1 = layout.inter_slices[c.name]
-        inter_values = []
-        for b in range(b1 - b0):
-            coords = [sv[2][(b0 + b) * 4 + k][0] for k in range(4)]
-            inter_values.append(recombine_qm31(coords))
-        prev_coords = [sv[2][(b1 - 1) * 4 + k][1] for k in range(4)]
-        inter_prev = recombine_qm31(prev_coords)
-        is_first_val = sv[0][layout.pp_index(layout.is_first_id(c.name))][0]
-        comp_acc = ConstraintAccumulator(alpha, ())
-        comp_acc._pow = acc_pow
-        pev = PointEval(
-            main_values,
-            pp_values,
-            inter_values,
-            inter_prev,
-            is_first_val,
-            np.asarray(proof.interaction_claim.sums[c.name], dtype=np.uint32),
-            comp_acc,
-        )
-        c.evaluate(pev, elems)
-        acc_pow = comp_acc._pow
-        v = circle.coset_vanishing_eval_qm31(z[0], n)
-        total = qm31.add(total, qm31.mul(comp_acc.acc, qm31.inv(v)))
+    with timer.span("oods_composition_check"):
+        sv = proof.pcs_proof.sampled_values
+        acc = ConstraintAccumulator(alpha, ())
+        total = qm31.zero((), np)
+        acc_pow = qm31.from_ints(1)
+        for c in layout.components:
+            n = claim.log_sizes[c.name]
+            s0, _ = layout.main_slices[c.name]
+            main_values = {
+                name: sv[1][s0 + i][0] for i, name in enumerate(c.MAIN)
+            }
+            pp_values = {pid: sv[0][layout.pp_index(pid)][0] for pid in list(c.PP_IDS)}
+            b0, b1 = layout.inter_slices[c.name]
+            inter_values = []
+            for b in range(b1 - b0):
+                coords = [sv[2][(b0 + b) * 4 + k][0] for k in range(4)]
+                inter_values.append(recombine_qm31(coords))
+            prev_coords = [sv[2][(b1 - 1) * 4 + k][1] for k in range(4)]
+            inter_prev = recombine_qm31(prev_coords)
+            is_first_val = sv[0][layout.pp_index(layout.is_first_id(c.name))][0]
+            comp_acc = ConstraintAccumulator(alpha, ())
+            comp_acc._pow = acc_pow
+            pev = PointEval(
+                main_values,
+                pp_values,
+                inter_values,
+                inter_prev,
+                is_first_val,
+                np.asarray(proof.interaction_claim.sums[c.name], dtype=np.uint32),
+                comp_acc,
+            )
+            c.evaluate(pev, elems)
+            acc_pow = comp_acc._pow
+            v = circle.coset_vanishing_eval_qm31(z[0], n)
+            total = qm31.add(total, qm31.mul(comp_acc.acc, qm31.inv(v)))
 
-    comp_at_z = recombine_qm31([sv[3][k][0] for k in range(4)])
-    if not np.array_equal(np.asarray(total), np.asarray(comp_at_z)):
-        raise StwoVerifierError("composition polynomial OODS mismatch")
+        comp_at_z = recombine_qm31([sv[3][k][0] for k in range(4)])
+        if not np.array_equal(np.asarray(total), np.asarray(comp_at_z)):
+            raise StwoVerifierError("composition polynomial OODS mismatch")
 
     # ---- PCS: sampled values, quotients, FRI, decommitments ------------
-    if not pcs.verify_values(sample_points, proof.pcs_proof):
-        raise StwoVerifierError("PCS verification failed")
+    with timer.span("pcs_fri_decommit"):
+        if not pcs.verify_values(sample_points, proof.pcs_proof):
+            raise StwoVerifierError("PCS verification failed")
     return True

@@ -1,8 +1,10 @@
-"""Multi-chip sharded prover kernels vs the host numpy pipeline.
+"""Multi-chip sharded prover vs the host numpy pipeline.
 
 conftest.py forces an 8-virtual-device CPU platform, so these tests
-exercise real jax.sharding.Mesh partitioning (rows x cols), XLA-inserted
-reshards/collectives, and bit-compare against the host path.
+exercise real jax.sharding.Mesh partitioning, XLA-inserted reshards/
+collectives, and bit-compare against the host path.  The decisive test is
+`test_full_prove_sharded_bit_identical`: the COMPLETE 4-phase prove() runs
+SPMD over the mesh and must produce byte-identical proofs.
 """
 
 import numpy as np
@@ -10,7 +12,45 @@ import pytest
 
 jax = pytest.importorskip("jax")
 
+from luminair_tpu import serde
 from luminair_tpu.parallel import sharding
+from luminair_tpu.pcs.config import FriConfig, PcsConfig
+from luminair_tpu.prelude import (
+    Graph,
+    gen_circuit_settings,
+    gen_trace,
+    prove,
+    verify,
+)
+
+CFG = PcsConfig(
+    pow_bits=2,
+    fri=FriConfig(log_blowup_factor=1, log_last_layer_degree_bound=0, n_queries=8),
+)
+
+
+def test_full_prove_sharded_bit_identical():
+    """All 4 prover phases SPMD over an 8-chip mesh: LDE (column-parallel),
+    Merkle + interaction + constraints + quotients + FRI (row-parallel).
+    The proof must be bit-identical to the host proof and verify."""
+    n_dev = min(8, len(jax.devices()))
+    cx = Graph()
+    rng = np.random.default_rng(5)
+    a = cx.tensor((8, 8)).set(rng.normal(size=(8, 8)))
+    b = cx.tensor((8, 8)).set(rng.normal(size=(8, 8)))
+    (a * b + a).retrieve()
+    cx.compile()
+    settings = gen_circuit_settings(cx)
+    pie = gen_trace(cx, settings)
+
+    proof_host = prove(pie, settings, CFG)
+    host_bytes = serde.proof_to_flat_bytes(proof_host)
+
+    mesh = sharding.make_chip_mesh(n_dev)
+    with sharding.prove_mesh(mesh, offload_min_rows=1):
+        proof_mesh = prove(pie, settings, CFG)
+    assert serde.proof_to_flat_bytes(proof_mesh) == host_bytes
+    assert verify(proof_mesh, settings)
 
 
 def _random_inputs(n_cols=8, log_n=5, seed=7):
