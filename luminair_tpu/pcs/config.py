@@ -4,6 +4,15 @@ Mirrors the role of stwo's ``PcsConfig`` used by the reference at
 crates/prover/src/prover.rs:36 (``PcsConfig::default()``).  Defaults follow
 stwo's: blowup 2^1, ~secure query count for conjectured security with proof
 of work.
+
+Security model (documented in docs/PROTOCOL.md "Security parameters"):
+conjectured soundness ≈ pow_bits + n_queries * log_blowup_factor bits.
+The default profile (5 + 15*1 = 20 bits) matches the reference's
+stwo-default posture and is meant for benchmarking/integrity checking;
+use ``PcsConfig.high_security()`` (16 + 64*1 = 80 bits) for adversarial
+settings.  The prover currently requires log_blowup_factor == 1 (constraint
+evaluation reuses the commit-domain evals), so extra bits come from queries
+and PoW.
 """
 
 from __future__ import annotations
@@ -29,6 +38,11 @@ class PcsConfig:
 
     def security_bits(self) -> int:
         return self.pow_bits + self.fri.log_blowup_factor * self.fri.n_queries
+
+    @staticmethod
+    def high_security() -> "PcsConfig":
+        """≥80 conjectured bits: 64 queries at blowup 2^1 + 16 PoW bits."""
+        return PcsConfig(pow_bits=16, fri=FriConfig(log_blowup_factor=1, n_queries=64))
 
     def to_dict(self):
         return {

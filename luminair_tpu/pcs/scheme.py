@@ -99,6 +99,9 @@ class CommitmentSchemeProver:
         """sample_points[tree][col] = list of (x, y) QM31 points.
 
         Returns the opening proof; mixes everything into the channel."""
+        from .. import tracing
+
+        timer = tracing.current("prove")
         ch = self.channel
         # 1. Evaluate samples (from coefficients), batched per
         # (point, size) group across columns.
@@ -111,18 +114,19 @@ class CommitmentSchemeProver:
         from ..parallel import accel
 
         values = {}
-        for (pt, members) in groups.values():
-            cols = [self.trees[t].coeffs[c] for t, c, _ in members]
-            if accel.enabled() and any(not isinstance(c, np.ndarray) for c in cols):
-                import jax.numpy as jnp
+        with timer.span("3b_oods_eval"):
+            for (pt, members) in groups.values():
+                cols = [self.trees[t].coeffs[c] for t, c, _ in members]
+                if accel.enabled() and any(not isinstance(c, np.ndarray) for c in cols):
+                    import jax.numpy as jnp
 
-                mat = jnp.stack([jnp.asarray(c) for c in cols])
-                evs = np.asarray(accel.eval_at_point_many(mat, pt))
-            else:
-                mat = np.stack(cols)
-                evs = fft.eval_at_point_many(mat, pt)
-            for (t, c, pi), v in zip(members, evs):
-                values[(t, c, pi)] = np.asarray(v, dtype=np.uint32)
+                    mat = jnp.stack([jnp.asarray(c) for c in cols])
+                    evs = np.asarray(accel.eval_at_point_many(mat, pt))
+                else:
+                    mat = np.stack(cols)
+                    evs = fft.eval_at_point_many(mat, pt)
+                for (t, c, pi), v in zip(members, evs):
+                    values[(t, c, pi)] = np.asarray(v, dtype=np.uint32)
 
         sampled_values = []
         samples: List[ColumnSample] = []
@@ -156,45 +160,49 @@ class CommitmentSchemeProver:
             for t, tree in enumerate(self.trees)
             for c in range(len(tree.evals))
         }
-        quotients = accumulate_quotients(samples, column_evals, gamma)
-        fri_proof, fri_ctx = fri_mod.fri_prove(quotients, self.config.fri, ch)
+        with timer.span("3b_quotients"):
+            quotients = accumulate_quotients(samples, column_evals, gamma)
+        with timer.span("3b_fri_commit"):
+            fri_proof, fri_ctx = fri_mod.fri_prove(quotients, self.config.fri, ch)
 
         # 3. PoW + queries.
-        nonce = ch.grind_pow(self.config.pow_bits)
+        with timer.span("3b_pow"):
+            nonce = ch.grind_pow(self.config.pow_bits)
         ch.mix_u64(nonce)
         kmax = max(quotients)
         positions = ch.draw_queries(self.config.fri.n_queries, kmax)
 
         # 4. Decommit FRI layers and trees.
-        fri_mod.fri_decommit(fri_proof, fri_ctx, positions)
-        fri_proof.pow_nonce = nonce
-        need = fri_mod.needed_input_positions(positions, sorted(quotients))
-        # Tree openings: plan all gathers, one fused dispatch + download.
-        plans = []
-        for tree in self.trees:
-            queries = {}
-            for log in set(tree.commit_logs):
-                if log in need:
-                    queries[log] = need[log]
-            plans.append(
-                (
-                    tree.merkle.queried_values_plan(queries),
-                    tree.merkle.decommit_plan(queries),
+        with timer.span("3b_decommit"):
+            fri_mod.fri_decommit(fri_proof, fri_ctx, positions)
+            fri_proof.pow_nonce = nonce
+            need = fri_mod.needed_input_positions(positions, sorted(quotients))
+            # Tree openings: plan all gathers, one fused dispatch + download.
+            plans = []
+            for tree in self.trees:
+                queries = {}
+                for log in set(tree.commit_logs):
+                    if log in need:
+                        queries[log] = need[log]
+                plans.append(
+                    (
+                        tree.merkle.queried_values_plan(queries),
+                        tree.merkle.decommit_plan(queries),
+                    )
                 )
-            )
-        all_specs = []
-        for (q_specs, _), (d_specs, _) in plans:
-            all_specs.extend(q_specs)
-            all_specs.extend(d_specs)
-        results = accel.gather_many(all_specs)
-        tree_queried_values = []
-        tree_witnesses = []
-        off = 0
-        for (q_specs, q_asm), (d_specs, d_asm) in plans:
-            tree_queried_values.append(q_asm(results[off : off + len(q_specs)]))
-            off += len(q_specs)
-            tree_witnesses.append(d_asm(results[off : off + len(d_specs)]))
-            off += len(d_specs)
+            all_specs = []
+            for (q_specs, _), (d_specs, _) in plans:
+                all_specs.extend(q_specs)
+                all_specs.extend(d_specs)
+            results = accel.gather_many(all_specs)
+            tree_queried_values = []
+            tree_witnesses = []
+            off = 0
+            for (q_specs, q_asm), (d_specs, d_asm) in plans:
+                tree_queried_values.append(q_asm(results[off : off + len(q_specs)]))
+                off += len(q_specs)
+                tree_witnesses.append(d_asm(results[off : off + len(d_specs)]))
+                off += len(d_specs)
 
         return PcsProof(
             sampled_values=sampled_values,

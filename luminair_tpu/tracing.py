@@ -71,6 +71,13 @@ def start(kind: str) -> PhaseTimer:
     return t
 
 
+def current(kind: str) -> PhaseTimer:
+    """The live timer for the in-flight prove()/verify() (a fresh detached
+    timer if none is active -- sub-spans then simply go unreported)."""
+    t = _last.get(kind)
+    return t if t is not None else PhaseTimer(kind)
+
+
 def last_phases(kind: str) -> Dict[str, float]:
     """Per-phase seconds of the most recent prove()/verify() call."""
     t = _last.get(kind)
