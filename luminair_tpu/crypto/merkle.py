@@ -55,10 +55,17 @@ def _is_device(a) -> bool:
 
 
 class MerkleTree:
-    def __init__(self, columns):
+    def __init__(self, columns, force_device: bool = False):
         """columns: list of uint32 arrays with power-of-two lengths (host
-        numpy or device arrays -- device inputs build and stay on device)."""
+        numpy or device arrays -- device inputs build and stay on device).
+
+        force_device: build on device regardless of the offload-row
+        threshold (used by the FRI fold chain, whose layers are already
+        device-resident -- downloading them to hash on host costs more
+        than the dispatch)."""
         assert columns, "empty tree"
+        self._force_device = force_device
+        self._root = None
         self.columns = list(columns)
         self.cols_by_log = defaultdict(list)
         for c in self.columns:
@@ -73,7 +80,7 @@ class MerkleTree:
         from ..parallel import accel
 
         if accel.enabled() and any(_is_device(c) for c in self.columns):
-            if accel.offload_rows(1 << self.max_log):
+            if self._force_device or accel.offload_rows(1 << self.max_log):
                 self.layers = accel.merkle_layers(dict(self.cols_by_log))
                 return
             # Small tree with device inputs: pull to host (cheap) and build
@@ -96,7 +103,11 @@ class MerkleTree:
 
     @property
     def root(self) -> np.ndarray:
-        return np.asarray(self.layers[0][0])
+        # Cached: the first access blocks on the device queue (a sync point
+        # costs a full tunnel RTT); later accesses are free.
+        if self._root is None:
+            self._root = np.asarray(self.layers[0][0])
+        return self._root
 
     def decommit_plan(self, queries_per_log: dict):
         """Plan the witness gathers: returns (device_specs, assemble) where

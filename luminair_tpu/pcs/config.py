@@ -23,7 +23,12 @@ from dataclasses import dataclass, field
 @dataclass
 class FriConfig:
     log_blowup_factor: int = 1
-    log_last_layer_degree_bound: int = 0
+    # Stop folding at degree 2^4: each extra committed FRI layer costs the
+    # prover a Merkle tree + a transcript round trip, while 16 last-layer
+    # coefficients cost the proof 256 bytes and the verifier one tiny
+    # interpolation.  prove() clamps this down automatically when the
+    # smallest committed column is too short for it.
+    log_last_layer_degree_bound: int = 4
     n_queries: int = 15
 
 

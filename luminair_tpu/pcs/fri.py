@@ -38,6 +38,13 @@ from .config import FriConfig
 
 _INV2 = np.uint32((int(m31.P) + 1) // 2)
 
+# Keep the FRI fold chain on device down to this many rows: each device
+# layer costs ~1 tunnel RTT for its root, but a host layer re-hashes on
+# numpy blake2s, which loses above ~2^9 rows (measured on the tunneled
+# v5e).  Tests that drop accel.OFFLOAD_MIN_ROWS below this keep full
+# device coverage of the chain (min() below).
+DEVICE_MIN_ROWS = 512
+
 
 def _qm31_cols(ev):
     """(N, 4) qm31 evaluation -> list of 4 (N,) m31 columns."""
@@ -113,20 +120,21 @@ def fri_prove(inputs: Dict[int, np.ndarray], config: FriConfig, channel) -> "tup
 
     layers = []  # (log, evals, MerkleTree)
     alphas = []
+    host_min = min(DEVICE_MIN_ROWS, accel.OFFLOAD_MIN_ROWS)
     while cur_log > last_line_log:
+        if device and cur.shape[0] < host_min:
+            # The fold chain shrank enough that host hashing beats the
+            # per-layer root RTT: finish on the host (downloads are tiny).
+            device = False
+            cur = np.asarray(cur)
+            line_evals = {k: np.asarray(v) for k, v in line_evals.items()}
         cols = _qm31_cols(cur)
-        tree = MerkleTree(cols)
+        tree = MerkleTree(cols, force_device=device)
         channel.mix_root(tree.root)
         alpha = channel.draw_felt()
         alphas.append(alpha)
         layers.append((cur_log, cur, tree))
         mix = cur_log - 1 in line_evals and cur_log - 1 != kmax - 1
-        if device and not accel.offload_rows(cur.shape[0]):
-            # The fold chain shrank below the offload threshold: finish on
-            # the host (downloads are tiny here).
-            device = False
-            cur = np.asarray(cur)
-            line_evals = {k: np.asarray(v) for k, v in line_evals.items()}
         if device:
             cur = accel.fold_line(
                 cur, cur_log, kmax, alpha,

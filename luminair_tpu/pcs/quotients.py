@@ -59,6 +59,36 @@ def _sample_constants(s: ColumnSample):
     return A, B, Cc, a_coef, c0
 
 
+def _batch_constants(samples: List[ColumnSample]):
+    """Vectorized `_sample_constants` over all samples at once: one set of
+    (S, 4) host numpy ops instead of S scalar QM31 inversions (the scalar
+    version costs ~1 ms/sample on host -- at ~200 samples per proof that was
+    the single largest host cost in phase 3b)."""
+    zx = np.stack([np.asarray(s.point[0], dtype=np.uint32) for s in samples])
+    zy = np.stack([np.asarray(s.point[1], dtype=np.uint32) for s in samples])
+    v = np.stack([np.asarray(s.value, dtype=np.uint32) for s in samples])
+    zbx, zby = qm31.conj_cm31(zx), qm31.conj_cm31(zy)
+    A = qm31.sub(zby, zy)
+    B = qm31.sub(zbx, zx)
+    Cc = qm31.sub(qm31.mul(B, zy), qm31.mul(A, zx))
+    dv = qm31.sub(qm31.conj_cm31(v), v)
+    denom = qm31.sub(zbx, zx)
+    assert not np.any(np.all(denom == 0, axis=-1)), "sample point x lies in CM31"
+    a_coef = qm31.mul(dv, qm31.inv(denom))
+    c0 = qm31.sub(v, qm31.mul(a_coef, zx))
+    return A, B, Cc, a_coef, c0
+
+
+def _gamma_powers(gamma, n: int) -> np.ndarray:
+    """(n, 4) array of gamma^0..gamma^(n-1), built by repeated doubling
+    (log2(n) vectorized muls)."""
+    out = qm31.one((1,), np)
+    g = np.asarray(gamma, dtype=np.uint32)
+    while out.shape[0] < n:
+        out = np.concatenate([out, qm31.mul(out, np.broadcast_to(qm31.mul(out[-1], g), out.shape))])
+    return out[:n]
+
+
 def accumulate_quotients(
     samples: List[ColumnSample],
     column_evals: Dict[Tuple[int, int], np.ndarray],
@@ -83,18 +113,25 @@ def accumulate_quotients(
         groups[key].append((idx, s))
 
     out: Dict[int, np.ndarray] = {}
-    gamma_pows = {}
-
-    def gpow(i):
-        if i not in gamma_pows:
-            gamma_pows[i] = qm31.pow_const(gamma, i)
-        return gamma_pows[i]
+    allA, allB, allCc, all_a, all_c0 = _batch_constants(samples)
+    gpows = _gamma_powers(gamma, len(samples))
 
     from ..parallel import accel
 
     for key in order:
         batch = groups[key]
         log = batch[0][1].commit_log
+        idxs = np.asarray([idx for idx, _ in batch])
+        A, B, Cc = allA[idxs[0]], allB[idxs[0]], allCc[idxs[0]]
+        gs = gpows[idxs]  # (S, 4)
+        # acc_a = sum_i g_i*a_i, acc_c0 = sum_i g_i*c0_i (vectorized).
+        ga = qm31.mul(gs, all_a[idxs])
+        gc = qm31.mul(gs, all_c0[idxs])
+        acc_a = ga[0]
+        acc_c0 = gc[0]
+        for j in range(1, len(batch)):  # tiny reduction over samples
+            acc_a = qm31.add(acc_a, ga[j])
+            acc_c0 = qm31.add(acc_c0, gc[j])
         device = domains is None and any(
             not isinstance(column_evals[(s.tree, s.col)], np.ndarray)
             for _, s in batch
@@ -103,19 +140,8 @@ def accumulate_quotients(
             # One jitted kernel per (log, batch size): scalar constants are
             # host-precomputed (they come from channel draws / OODS values),
             # column evaluations never leave the device.
-            A, B, Cc, _, _ = _sample_constants(batch[0][1])
-            acc_a = qm31.zero((), np)
-            acc_c0 = qm31.zero((), np)
-            gs = []
-            cols = []
-            for idx, s in batch:
-                _, _, _, a_coef, c0 = _sample_constants(s)
-                g = gpow(idx)
-                acc_a = qm31.add(acc_a, qm31.mul(g, a_coef))
-                acc_c0 = qm31.add(acc_c0, qm31.mul(g, c0))
-                gs.append(g)
-                cols.append(column_evals[(s.tree, s.col)])
-            q = accel.quotient_group(log, cols, gs, A, B, Cc, acc_a, acc_c0)
+            cols = [column_evals[(s.tree, s.col)] for _, s in batch]
+            q = accel.quotient_group(log, cols, list(gs), A, B, Cc, acc_a, acc_c0)
             if log in out:
                 out[log] = qm31.add(out[log], q)
             else:
@@ -127,7 +153,6 @@ def accumulate_quotients(
         else:
             n = 1 << log
             xs, ys = circle.domain_points(log)
-        A, B, Cc, _, _ = _sample_constants(batch[0][1])
         # Denominator on the whole domain.
         L = qm31.add(
             qm31.sub(
@@ -140,16 +165,10 @@ def accumulate_quotients(
         # num = sum_i g_i*c_i(P) - (sum_i g_i*a_i)*x_P - sum_i g_i*c0_i:
         # columns are M31, so each g_i*c_i costs 4 base muls, and the linear
         # terms collapse to one scalar-by-x multiply for the whole group.
-        acc_a = qm31.zero((), np)
-        acc_c0 = qm31.zero((), np)
         num_acc = qm31.zero((n,), np)
-        for idx, s in batch:
-            _, _, _, a_coef, c0 = _sample_constants(s)
-            g = gpow(idx)
-            acc_a = qm31.add(acc_a, qm31.mul(g, a_coef))
-            acc_c0 = qm31.add(acc_c0, qm31.mul(g, c0))
+        for j, (idx, s) in enumerate(batch):
             col = column_evals[(s.tree, s.col)]
-            num_acc = qm31.add(num_acc, m31.mul(g[None, :], col[:, None]))
+            num_acc = qm31.add(num_acc, m31.mul(gs[j][None, :], col[:, None]))
         num_acc = qm31.sub(num_acc, qm31.mul_m31(np.broadcast_to(acc_a, (n, 4)), xs))
         num_acc = qm31.sub(num_acc, np.broadcast_to(acc_c0, (n, 4)))
         q = qm31.mul(num_acc, Linv)

@@ -115,16 +115,34 @@ class CommitmentSchemeProver:
 
         values = {}
         with timer.span("3b_oods_eval"):
+            # Dispatch every group, then download ALL results in ONE sync
+            # (each sync costs a full tunnel RTT).
+            pending = []  # (members, evs) -- evs device or host
             for (pt, members) in groups.values():
                 cols = [self.trees[t].coeffs[c] for t, c, _ in members]
                 if accel.enabled() and any(not isinstance(c, np.ndarray) for c in cols):
                     import jax.numpy as jnp
 
                     mat = jnp.stack([jnp.asarray(c) for c in cols])
-                    evs = np.asarray(accel.eval_at_point_many(mat, pt))
+                    evs = accel.eval_at_point_many(mat, pt)
                 else:
                     mat = np.stack(cols)
                     evs = fft.eval_at_point_many(mat, pt)
+                pending.append((members, evs))
+            dev = [i for i, (_, e) in enumerate(pending) if not isinstance(e, np.ndarray)]
+            if dev:
+                import jax.numpy as jnp
+
+                flat = np.asarray(
+                    jnp.concatenate([pending[i][1].reshape(-1) for i in dev])
+                )
+                off = 0
+                for i in dev:
+                    members, e = pending[i]
+                    n = len(members) * 4
+                    pending[i] = (members, flat[off : off + n].reshape(-1, 4))
+                    off += n
+            for members, evs in pending:
                 for (t, c, pi), v in zip(members, evs):
                     values[(t, c, pi)] = np.asarray(v, dtype=np.uint32)
 

@@ -220,6 +220,20 @@ def prove(pie: LuminairPie, settings, config: Optional[PcsConfig] = None) -> Lum
 
     # ---- phase 3b: OODS + FRI ------------------------------------------
     with timer.span("phase3b_oods_fri"):
+        # Clamp the FRI last-layer bound to what the smallest committed
+        # column admits (the bound trades committed fold layers -- each a
+        # Merkle tree + transcript round trip -- for last-layer coefficient
+        # count; it does not affect soundness).  The effective value ships
+        # in the proof's config, which all verifiers parameterize from.
+        from dataclasses import replace as _replace
+
+        min_log = min(min(t.commit_logs) for t in pcs.trees)
+        max_bound = min_log - 1 - config.log_blowup
+        eff = max(0, min(config.fri.log_last_layer_degree_bound, max_bound))
+        if eff != config.fri.log_last_layer_degree_bound:
+            config = _replace(config, fri=_replace(config.fri, log_last_layer_degree_bound=eff))
+            pcs.config = config
+
         z = circle.point_from_t_qm31(channel.draw_felt())
         sample_points = layout.sample_points(z)
         pcs_proof = pcs.prove_values(sample_points)
