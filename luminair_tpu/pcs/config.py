@@ -30,6 +30,13 @@ class FriConfig:
     # smallest committed column is too short for it.
     log_last_layer_degree_bound: int = 4
     n_queries: int = 15
+    # Line-fold steps per committed FRI layer (layer arity = 2^this).  Fold
+    # step t of a layer uses challenge alpha^(2^t) from the layer's single
+    # drawn alpha (standard higher-arity FRI batching).  Each committed
+    # layer costs the prover one Merkle tree + transcript round trip and
+    # the proof one root + witness set, so 2 halves both vs. classic
+    # fold-per-commit FRI; queries open 2^folds-position cosets per layer.
+    folds_per_layer: int = 2
 
 
 @dataclass
@@ -56,6 +63,7 @@ class PcsConfig:
                 "log_blowup_factor": self.fri.log_blowup_factor,
                 "log_last_layer_degree_bound": self.fri.log_last_layer_degree_bound,
                 "n_queries": self.fri.n_queries,
+                "folds_per_layer": self.fri.folds_per_layer,
             },
         }
 
@@ -67,5 +75,6 @@ class PcsConfig:
                 log_blowup_factor=d["fri"]["log_blowup_factor"],
                 log_last_layer_degree_bound=d["fri"]["log_last_layer_degree_bound"],
                 n_queries=d["fri"]["n_queries"],
+                folds_per_layer=d["fri"].get("folds_per_layer", 1),
             ),
         )

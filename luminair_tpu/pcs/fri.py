@@ -8,12 +8,21 @@ circle-FFT space of dimension ``size >> log_blowup``.  The protocol:
      (E + alpha0 * O);
   2. walk line layers from the largest down: commit the current layer
      (4 M31 coordinate columns in a Merkle tree), mix root, draw alpha,
-     fold (E + alpha * O); when a smaller input's line domain size is
-     reached, mix it in scaled by alpha^2;
+     then fold ``folds_per_layer`` times -- fold step t uses challenge
+     beta_t = alpha^(2^t), so one committed layer covers a 2^F-to-1
+     reduction (standard higher-arity FRI batching).  When a smaller
+     input's line domain size is reached (possibly between two folds of
+     the same committed layer), mix it in scaled by beta_t^2;
   3. stop at size 2^(log_blowup + last_layer_degree); interpolate, check
      the strided low-degree structure, send the last-layer coefficients;
   4. grind PoW, draw query positions at the largest size; decommit every
-     line layer at the fold path positions (with palindromic siblings).
+     committed layer at the positions needed to replay its folds: per
+     carried query that is the full 2^f-position coset at the committed
+     level (``fold_position_sets``).
+
+Each committed layer costs the prover a Merkle tree + a transcript round
+trip (one host<->device sync), so folds_per_layer > 1 directly divides the
+prover's FRI sync count and the proof's root/witness count.
 
 Fold pairing matches the FFT layout (fft.py): pair (i, L-1-i), sibling of a
 query position is its bitwise complement, which commutes with the position
@@ -120,6 +129,7 @@ def fri_prove(inputs: Dict[int, np.ndarray], config: FriConfig, channel) -> "tup
 
     layers = []  # (log, evals, MerkleTree)
     alphas = []
+    F = max(1, int(getattr(config, "folds_per_layer", 1)))
     host_min = min(DEVICE_MIN_ROWS, accel.OFFLOAD_MIN_ROWS)
     while cur_log > last_line_log:
         if device and cur.shape[0] < host_min:
@@ -134,20 +144,23 @@ def fri_prove(inputs: Dict[int, np.ndarray], config: FriConfig, channel) -> "tup
         alpha = channel.draw_felt()
         alphas.append(alpha)
         layers.append((cur_log, cur, tree))
-        mix = cur_log - 1 in line_evals and cur_log - 1 != kmax - 1
-        if device:
-            cur = accel.fold_line(
-                cur, cur_log, kmax, alpha,
-                mix_vals=line_evals[cur_log - 1] if mix else None,
-            )
-            cur_log -= 1
-        else:
-            t_inv = tw_inv_all[kmax - cur_log]  # x twiddles 1/(2x), len cur/2
-            cur = fold_line(cur, t_inv, alpha)
-            cur_log -= 1
-            if mix:
-                alpha2 = qm31.mul(alpha, alpha)
-                cur = qm31.add(cur, qm31.mul(np.broadcast_to(alpha2, cur.shape), line_evals[cur_log]))
+        beta = alpha
+        for _t in range(min(F, cur_log - last_line_log)):
+            mix = cur_log - 1 in line_evals and cur_log - 1 != kmax - 1
+            if device:
+                cur = accel.fold_line(
+                    cur, cur_log, kmax, beta,
+                    mix_vals=line_evals[cur_log - 1] if mix else None,
+                )
+                cur_log -= 1
+            else:
+                t_inv = tw_inv_all[kmax - cur_log]  # x twiddles 1/(2x)
+                cur = fold_line(cur, t_inv, beta)
+                cur_log -= 1
+                if mix:
+                    beta2 = qm31.mul(beta, beta)
+                    cur = qm31.add(cur, qm31.mul(np.broadcast_to(beta2, cur.shape), line_evals[cur_log]))
+            beta = qm31.mul(beta, beta)
 
     # Last layer: tiny -- pull to host, interpolate, extract strided coeffs.
     cur = np.asarray(cur)
@@ -166,8 +179,47 @@ def fri_prove(inputs: Dict[int, np.ndarray], config: FriConfig, channel) -> "tup
         layer_witnesses=[],
         last_layer_coeffs=last_coeffs,
     )
-    ctx = {"layers": layers, "alpha0": alpha0, "alphas": alphas, "kmax": kmax}
+    ctx = {
+        "layers": layers,
+        "alpha0": alpha0,
+        "alphas": alphas,
+        "kmax": kmax,
+        "folds_per_layer": F,
+        "last_line_log": last_line_log,
+    }
     return proof, ctx
+
+
+def fold_position_sets(pending, level_log: int, depth: int):
+    """Position sets the verifier materializes when folding ``depth`` steps
+    starting from carried positions ``pending`` at line level ``level_log``.
+
+    Returns ``[S_0, ..., S_depth]``: S_0 is the full coset at level_log (the
+    positions the committed layer must open), S_t the positions produced
+    after t folds, S_depth the next carried set.  Each S_t (t < depth) is
+    pair-closed: for every target p in S_{t+1} it contains both p and its
+    palindromic sibling at level (level_log - t)."""
+    final = {int(p) for p in pending}
+    for t in range(depth):
+        n = 1 << (level_log - t)
+        final = {min(p, n - 1 - p) for p in final}
+    sets = [final]
+    for t in range(depth, 0, -1):
+        n = 1 << (level_log - t + 1)
+        sets.append({q for p in sets[-1] for q in (p, n - 1 - p)})
+    sets.reverse()
+    return sets
+
+
+def layer_fold_counts(kmax: int, last_line_log: int, folds_per_layer: int):
+    """Fold-step count of each committed layer, largest first."""
+    counts = []
+    cur = kmax - 1
+    while cur > last_line_log:
+        f = min(folds_per_layer, cur - last_line_log)
+        counts.append(f)
+        cur -= f
+    return counts
 
 
 def fri_decommit(proof: FriProof, ctx, positions: np.ndarray):
@@ -180,15 +232,16 @@ def fri_decommit(proof: FriProof, ctx, positions: np.ndarray):
     from ..parallel import accel
 
     kmax = ctx["kmax"]
+    F = ctx["folds_per_layer"]
+    last_line_log = ctx["last_line_log"]
     n = 1 << kmax
-    pos = sorted({min(int(p), n - 1 - int(p)) for p in positions})  # line kmax-1
+    pos = {min(int(p), n - 1 - int(p)) for p in positions}  # line kmax-1
     plans = []
     for (log, _evals, tree) in ctx["layers"]:
-        with_sib = sorted({p for q in pos for p in (q, (1 << log) - 1 - q)})
-        queries = {log: with_sib}
+        sets = fold_position_sets(pos, log, min(F, log - last_line_log))
+        queries = {log: sorted(sets[0])}
         plans.append((tree.queried_values_plan(queries), tree.decommit_plan(queries)))
-        # fold positions to the next (log-1) layer
-        pos = sorted({min(q, (1 << log) - 1 - q) for q in pos})
+        pos = sets[-1]
     all_specs = []
     for (q_specs, _), (d_specs, _) in plans:
         all_specs.extend(q_specs)
@@ -203,24 +256,35 @@ def fri_decommit(proof: FriProof, ctx, positions: np.ndarray):
     return proof
 
 
-def needed_input_positions(drawn_positions, input_logs) -> Dict[int, list]:
+def needed_input_positions(drawn_positions, input_logs, fri_config=None) -> Dict[int, list]:
     """For each input circle log, the positions at which the verifier needs
     the FRI input (DEEP quotient) values -- i.e. the positions at which the
     committed columns of that commit-log must be opened.  Mirrors the fold
-    chain in fri_verify."""
+    chain in fri_check_queries, including the committed-layer coset
+    expansion: an input mixing in mid-layer is added to EVERY position the
+    verifier materializes at that level, so those positions (not just the
+    minimal fold chain) need quotient values."""
     logs = sorted(set(int(l) for l in input_logs), reverse=True)
     kmax = logs[0]
     n = 1 << kmax
     need = {kmax: sorted({q for p in drawn_positions for q in (int(p), n - 1 - int(p))})}
-    pos = sorted({min(int(p), n - 1 - int(p)) for p in drawn_positions})
-    for cur_line in range(kmax - 2, -1, -1):
-        # fold line log cur_line+1 -> cur_line
-        pos = sorted({min(i, (1 << (cur_line + 1)) - 1 - i) for i in pos})
-        k = cur_line + 1
-        if k in logs and k != kmax:
-            need[k] = sorted({q for i in pos for q in (i, (1 << k) - 1 - i)})
-        if k - 1 <= 0:
-            break
+    pos = {min(int(p), n - 1 - int(p)) for p in drawn_positions}
+    F = max(1, int(getattr(fri_config, "folds_per_layer", 1))) if fri_config else 1
+    if fri_config is not None:
+        last_line_log = fri_config.log_blowup_factor + fri_config.log_last_layer_degree_bound
+    else:
+        last_line_log = 0
+    cur_log = kmax - 1
+    while cur_log > last_line_log:
+        f = min(F, cur_log - last_line_log)
+        sets = fold_position_sets(pos, cur_log, f)
+        for t in range(1, f + 1):
+            lvl = cur_log - t  # line level after t folds
+            k = lvl + 1  # a circle-log-k input mixes at line level k-1
+            if k in logs and k != kmax:
+                need[k] = sorted({q for i in sets[t] for q in (i, (1 << k) - 1 - i)})
+        pos = sets[-1]
+        cur_log -= f
     return need
 
 
@@ -231,6 +295,7 @@ def fri_replay(proof: FriProof, config: FriConfig, channel, input_logs: List[int
     kmax = logs[0]
     last_line_log = config.log_blowup_factor + config.log_last_layer_degree_bound
 
+    F = max(1, int(getattr(config, "folds_per_layer", 1)))
     alpha0 = channel.draw_felt()
     alphas = []
     cur_log = kmax - 1
@@ -241,7 +306,7 @@ def fri_replay(proof: FriProof, config: FriConfig, channel, input_logs: List[int
         channel.mix_root(proof.layer_roots[idx])
         alphas.append(channel.draw_felt())
         idx += 1
-        cur_log -= 1
+        cur_log -= min(F, cur_log - last_line_log)
     if len(proof.layer_roots) != len(alphas):
         return None
     if len(proof.last_layer_coeffs) != 1 << config.log_last_layer_degree_bound:
@@ -308,47 +373,54 @@ def fri_check_queries(
         i = min(p, (1 << kmax) - 1 - p)
         pending[i] = circle_fold_at(kmax, p)
 
+    F = max(1, int(getattr(config, "folds_per_layer", 1)))
     layer_idx = 0
     while cur_line_log > last_line_log:
-        # Check committed layer values match the computed ones, and obtain
-        # sibling values from the opening.
+        # Open the committed layer at the full fold coset, check the carried
+        # values against the opening, then replay this layer's folds.
         log = cur_line_log
-        with_sib = sorted({q for i in pending for q in (i, (1 << log) - 1 - i)})
+        f = min(F, log - last_line_log)
+        sets = fold_position_sets(pending.keys(), log, f)
+        coset = sorted(sets[0])
         vals = proof.layer_queried_values[layer_idx]
         wit = proof.layer_witnesses[layer_idx]
         if not verify_decommitment(
-            proof.layer_roots[layer_idx], [log] * 4, {log: with_sib}, vals, wit
+            proof.layer_roots[layer_idx], [log] * 4, {log: coset}, vals, wit
         ):
             return False
-        opened = {p: _cols_qm31([vals[c][j] for c in range(4)]) for j, p in enumerate(with_sib)}
+        cur = {p: _cols_qm31([vals[c][j] for c in range(4)]) for j, p in enumerate(coset)}
         for i, v in pending.items():
-            if not np.array_equal(opened[i], v):
+            if not np.array_equal(cur[i], v):
                 return False
-        # Fold using sibling from the opening.
-        alpha = alphas[layer_idx]
-        nxt = {}
-        x_tw = xs_chain[kmax - log]  # full line domain x values, len 2^log
-        for i in sorted(pending):
-            sib = (1 << log) - 1 - i
-            v_i, v_sib = opened[i], opened[sib]
-            # (i, sib) formulas are symmetric under swap: both numerator and
-            # x twiddle negate, so using i's x directly is correct.
-            e = m31.mul(qm31.add(v_i, v_sib), _INV2)
-            o_num = m31.mul(qm31.sub(v_i, v_sib), _INV2)
-            o = qm31.mul_m31(o_num, m31.inv(np.asarray(x_tw[i])))
-            folded = qm31.add(e, qm31.mul(alpha, o))
-            nxt[min(i, sib)] = folded  # folded index = min of the pair
-        pending = nxt
-        cur_line_log -= 1
+        beta = alphas[layer_idx]
+        for t in range(f):
+            lvl = log - t  # level being folded (size 2^lvl)
+            n_lvl = 1 << lvl
+            x_tw = xs_chain[kmax - lvl]  # full line domain x values, len 2^lvl
+            nxt = {}
+            for p in sets[t + 1]:
+                sib = n_lvl - 1 - p
+                v_p, v_sib = cur[p], cur[sib]
+                # (p, sib) formulas are symmetric under swap: both numerator
+                # and x twiddle negate, so using p's x directly is correct.
+                e = m31.mul(qm31.add(v_p, v_sib), _INV2)
+                o_num = m31.mul(qm31.sub(v_p, v_sib), _INV2)
+                o = qm31.mul_m31(o_num, m31.inv(np.asarray(x_tw[p])))
+                nxt[p] = qm31.add(e, qm31.mul(beta, o))
+            cur = nxt
+            # Mix in smaller inputs arriving at this size (scaled by the
+            # square of the fold challenge just applied -- matches the
+            # prover's in-loop mixing rule).
+            k = lvl  # a circle-log-k input mixes at line level k-1
+            if k in logs and k != kmax:
+                beta2 = qm31.mul(beta, beta)
+                for i in list(cur):
+                    add_v = circle_fold_at(k, i)
+                    cur[i] = qm31.add(cur[i], qm31.mul(beta2, add_v))
+            beta = qm31.mul(beta, beta)
+        pending = cur
+        cur_line_log -= f
         layer_idx += 1
-        # Mix in smaller inputs arriving at this size.
-        if (cur_line_log + 1) in logs and cur_line_log != kmax - 1:
-            alpha2 = qm31.mul(alpha, alpha)
-            for i in list(pending):
-                # Positions at the smaller circle domain: the line position i
-                # corresponds to circle positions i and complement.
-                add_v = circle_fold_at(cur_line_log + 1, i)
-                pending[i] = qm31.add(pending[i], qm31.mul(alpha2, add_v))
 
     # Last layer check.
     full_len = 1 << (last_line_log)

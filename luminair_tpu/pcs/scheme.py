@@ -194,7 +194,7 @@ class CommitmentSchemeProver:
         with timer.span("3b_decommit"):
             fri_mod.fri_decommit(fri_proof, fri_ctx, positions)
             fri_proof.pow_nonce = nonce
-            need = fri_mod.needed_input_positions(positions, sorted(quotients))
+            need = fri_mod.needed_input_positions(positions, sorted(quotients), self.config.fri)
             # Tree openings: plan all gathers, one fused dispatch + download.
             plans = []
             for tree in self.trees:
@@ -287,7 +287,7 @@ class CommitmentSchemeVerifier:
         positions = ch.draw_queries(self.config.fri.n_queries, kmax)
 
         # 4. Verify tree decommitments; build opened-value lookup.
-        need = fri_mod.needed_input_positions(positions, input_logs)
+        need = fri_mod.needed_input_positions(positions, input_logs, self.config.fri)
         opened: Dict[Tuple[int, int], Dict[int, int]] = {}
         for t, logs in enumerate(self.tree_trace_logs):
             commit_logs = [l + B for l in logs]

@@ -160,7 +160,8 @@ import struct
 
 _FLAT_MAGIC_PROOF = b"LMVF"
 _FLAT_MAGIC_SETTINGS = b"LMSF"
-_FLAT_VERSION = 1
+_FLAT_VERSION_SETTINGS = 1
+_FLAT_VERSION_PROOF = 2  # v2: FRI config gained folds_per_layer (multi-fold layers)
 
 
 class _W:
@@ -198,7 +199,7 @@ class _W:
 def settings_to_flat_bytes(settings) -> bytes:
     w = _W()
     w.parts.append(_FLAT_MAGIC_SETTINGS)
-    w.u32(_FLAT_VERSION)
+    w.u32(_FLAT_VERSION_SETTINGS)
     for kind in ("sin", "exp2", "log2"):
         layout = getattr(settings.lookups, kind)
         w.u8(1 if layout is not None else 0)
@@ -220,12 +221,13 @@ def proof_to_flat_bytes(proof) -> bytes:
 
     w = _W()
     w.parts.append(_FLAT_MAGIC_PROOF)
-    w.u32(_FLAT_VERSION)
+    w.u32(_FLAT_VERSION_PROOF)
     # config
     w.u32(proof.config.pow_bits)
     w.u32(proof.config.fri.log_blowup_factor)
     w.u32(proof.config.fri.log_last_layer_degree_bound)
     w.u32(proof.config.fri.n_queries)
+    w.u32(proof.config.fri.folds_per_layer)
     # claim: (component index, log_size) in canonical order
     present = [
         (i, c.name) for i, c in enumerate(ALL_COMPONENTS) if c.name in proof.claim.log_sizes

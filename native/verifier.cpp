@@ -696,6 +696,7 @@ struct FriProofData {
 struct Proof {
   // config
   int pow_bits = 0, log_blowup = 1, log_last_layer = 0, n_queries = 0;
+  int folds_per_layer = 1;
   // claim: (component index, log size)
   std::vector<std::pair<int, int>> claim;
   std::vector<QM31> sums;  // same order as claim
@@ -736,11 +737,15 @@ static const uint32_t LIMIT = 1u << 26;  // structural sanity bound
 
 static bool parse_proof(Reader& r, Proof& pf) {
   if (!r.magic("LMVF")) return false;
-  if (r.u32() != 1) return false;
+  uint32_t version = r.u32();
+  if (version != 1 && version != 2) return false;
   pf.pow_bits = (int)r.u32();
   pf.log_blowup = (int)r.u32();
   pf.log_last_layer = (int)r.u32();
   pf.n_queries = (int)r.u32();
+  // v2: line-fold steps per committed FRI layer (v1 proofs fold once).
+  pf.folds_per_layer = version >= 2 ? (int)r.u32() : 1;
+  if (pf.folds_per_layer < 1 || pf.folds_per_layer > 8) return false;
   uint32_t n_claim = r.u32();
   if (n_claim > 32) return false;
   for (uint32_t i = 0; i < n_claim; i++) {

@@ -117,3 +117,57 @@ class TestFri:
         folded = fri.fold_line(line, tws[1], alpha)
         coeffs = fft.line_ifft_qm31(folded, tws[2:])
         assert np.all(coeffs[1::2] == 0)
+
+
+class TestMultiFoldLayers:
+    """folds_per_layer > 1: one committed layer covers several line folds
+    (docs/PROTOCOL.md "FRI"), halving roots/witnesses and prover syncs."""
+
+    @pytest.mark.parametrize("folds", [1, 2, 3])
+    def test_arities_accept(self, folds):
+        cfg = FriConfig(
+            log_blowup_factor=1, log_last_layer_degree_bound=0,
+            n_queries=6, folds_per_layer=folds,
+        )
+        inputs = {9: make_low_degree(9, 1), 6: make_low_degree(6, 1)}
+        ok, _ = run_roundtrip(inputs, cfg)
+        assert ok
+
+    def test_layer_count_divides(self):
+        inputs = {9: make_low_degree(9, 1)}
+        roots = {}
+        for folds in (1, 2):
+            cfg = FriConfig(
+                log_blowup_factor=1, log_last_layer_degree_bound=0,
+                n_queries=4, folds_per_layer=folds,
+            )
+            ch = Blake2sChannel()
+            proof, _ = fri.fri_prove(inputs, cfg, ch)
+            roots[folds] = len(proof.layer_roots)
+        assert roots[1] == 7  # line 8 -> 1 (last_line_log = blowup + bound)
+        assert roots[2] == 4  # ceil(7 / 2)
+
+    @pytest.mark.parametrize("folds", [2, 3])
+    def test_tamper_rejected_multifold(self, folds):
+        cfg = FriConfig(
+            log_blowup_factor=1, log_last_layer_degree_bound=0,
+            n_queries=6, folds_per_layer=folds,
+        )
+        inputs = {8: make_low_degree(8, 1), 6: make_low_degree(6, 1)}
+        _, positions = run_roundtrip(inputs, cfg)
+        tamper = {(8, int(positions[0]))}
+        ok, _ = run_roundtrip(inputs, cfg, tamper=tamper)
+        assert not ok
+
+    def test_mid_layer_input_mix(self):
+        """An input whose line log lands BETWEEN the two folds of a
+        committed layer (9 -> line 8; 8 -> line 7 mixes mid-layer when
+        folds_per_layer=2 and the chain starts at 8)."""
+        cfg = FriConfig(
+            log_blowup_factor=1, log_last_layer_degree_bound=0,
+            n_queries=6, folds_per_layer=2,
+        )
+        inputs = {9: make_low_degree(9, 1), 8: make_low_degree(8, 1),
+                  7: make_low_degree(7, 1)}
+        ok, _ = run_roundtrip(inputs, cfg)
+        assert ok

@@ -48,7 +48,35 @@ export function getVerificationPhases() {
 // Needed opening positions per input log (pcs/fri.py needed_input_positions)
 // ---------------------------------------------------------------------------
 
-function neededInputPositions(drawn, inputLogsDesc) {
+/**
+ * Position sets the verifier materializes when folding `depth` steps from
+ * carried positions `pending` at line level `levelLog` (pcs/fri.py
+ * fold_position_sets): sets[0] is the coset the committed layer opens,
+ * sets[t] the positions after t folds, sets[depth] the next carried set.
+ */
+function foldPositionSets(pending, levelLog, depth) {
+  let final = new Set(pending);
+  for (let t = 0; t < depth; t++) {
+    const n = 1 << (levelLog - t);
+    const nxt = new Set();
+    for (const p of final) nxt.add(Math.min(p, n - 1 - p));
+    final = nxt;
+  }
+  const sets = [final];
+  for (let t = depth; t > 0; t--) {
+    const n = 1 << (levelLog - t + 1);
+    const up = new Set();
+    for (const p of sets[sets.length - 1]) {
+      up.add(p);
+      up.add(n - 1 - p);
+    }
+    sets.push(up);
+  }
+  sets.reverse();
+  return sets;
+}
+
+function neededInputPositions(drawn, inputLogsDesc, foldsPerLayer, lastLineLog) {
   const kmax = inputLogsDesc[0];
   const logset = new Set(inputLogsDesc);
   const n = 1 << kmax;
@@ -63,21 +91,23 @@ function neededInputPositions(drawn, inputLogsDesc) {
   }
   let pos = new Set();
   for (const p of drawn) pos.add(Math.min(p, n - 1 - p));
-  for (let curLine = kmax - 2; curLine >= 0; curLine--) {
-    const nxt = new Set();
-    const m = 1 << (curLine + 1);
-    for (const i of pos) nxt.add(Math.min(i, m - 1 - i));
-    pos = nxt;
-    const k = curLine + 1;
-    if (logset.has(k) && k !== kmax) {
-      const s = new Set();
-      for (const i of pos) {
-        s.add(i);
-        s.add((1 << k) - 1 - i);
+  let curLog = kmax - 1;
+  while (curLog > lastLineLog) {
+    const f = Math.min(foldsPerLayer, curLog - lastLineLog);
+    const sets = foldPositionSets(pos, curLog, f);
+    for (let t = 1; t <= f; t++) {
+      const k = curLog - t + 1; // circle-log-k input mixes at line level k-1
+      if (logset.has(k) && k !== kmax) {
+        const s = new Set();
+        for (const i of sets[t]) {
+          s.add(i);
+          s.add((1 << k) - 1 - i);
+        }
+        need.set(k, [...s].sort((a, b) => a - b));
       }
-      need.set(k, [...s].sort((a, b) => a - b));
     }
-    if (k - 1 <= 0) break;
+    pos = sets[sets.length - 1];
+    curLog -= f;
   }
   return need;
 }
@@ -169,7 +199,7 @@ function recomputeQuotients(samples, opened, need, gamma) {
 // FRI verification (pcs/fri.py fri_replay + fri_check_queries)
 // ---------------------------------------------------------------------------
 
-function friCheckQueries(fri, logBlowup, logLastLayer, alpha0, alphas, quots, inputLogsDesc, positions) {
+function friCheckQueries(fri, logBlowup, logLastLayer, foldsPerLayer, alpha0, alphas, quots, inputLogsDesc, positions) {
   const kmax = inputLogsDesc[0];
   const logset = new Set(inputLogsDesc);
   const lastLineLog = logBlowup + logLastLayer;
@@ -205,14 +235,14 @@ function friCheckQueries(fri, logBlowup, logLastLayer, alpha0, alphas, quots, in
 
   let layerIdx = 0;
   while (curLineLog > lastLineLog) {
+    // Open the committed layer at the full fold coset, check the carried
+    // values against the opening, then replay this layer's folds (step t
+    // uses challenge alpha^(2^t); inputs arriving mid-layer mix scaled by
+    // the square of the fold challenge just applied).
     const log = curLineLog;
-    const m = 1 << log;
-    const withSibS = new Set();
-    for (const i of pending.keys()) {
-      withSibS.add(i);
-      withSibS.add(m - 1 - i);
-    }
-    const withSib = [...withSibS].sort((a, b) => a - b);
+    const f = Math.min(foldsPerLayer, log - lastLineLog);
+    const sets = foldPositionSets(pending.keys(), log, f);
+    const coset = [...sets[0]].sort((a, b) => a - b);
     if (
       layerIdx >= fri.layerQueriedValues.length ||
       layerIdx >= fri.layerWitnesses.length ||
@@ -222,47 +252,54 @@ function friCheckQueries(fri, logBlowup, logLastLayer, alpha0, alphas, quots, in
     }
     const vals = fri.layerQueriedValues[layerIdx];
     if (vals.length !== 4) return false;
-    const queries = new Map([[log, withSib]]);
+    const queries = new Map([[log, coset]]);
     if (
       !verifyDecommitment(fri.layerRoots[layerIdx], [log, log, log, log], queries, vals, fri.layerWitnesses[layerIdx])
     ) {
       return false;
     }
-    const opened = new Map();
-    for (let j = 0; j < withSib.length; j++) {
+    let cur = new Map();
+    for (let j = 0; j < coset.length; j++) {
       const v = [0, 0, 0, 0];
       for (let c = 0; c < 4; c++) {
         if (j >= vals[c].length) return false;
         v[c] = vals[c][j];
       }
-      opened.set(withSib[j], v);
+      cur.set(coset[j], v);
     }
     for (const [i, v] of pending) {
-      if (!qEq(opened.get(i), v)) return false;
+      if (!qEq(cur.get(i), v)) return false;
     }
-    const alpha = alphas[layerIdx];
-    const nxt = new Map();
-    for (const i of pending.keys()) {
-      const sib = m - 1 - i;
-      const vI = opened.get(i);
-      const vSib = opened.get(sib);
-      const e = qMulM31(qAdd(vI, vSib), INV2);
-      const oNum = qMulM31(qSub(vI, vSib), INV2);
-      const xTw = lineXAt(log, i);
-      const o = qMulM31(oNum, mInv(xTw));
-      nxt.set(Math.min(i, sib), qAdd(e, qMul(alpha, o)));
-    }
-    pending = nxt;
-    curLineLog -= 1;
-    layerIdx += 1;
-    if (logset.has(curLineLog + 1) && curLineLog !== kmax - 1) {
-      const alpha2 = qMul(alpha, alpha);
-      for (const [i, v] of pending) {
-        const addV = circleFoldAt(curLineLog + 1, i);
-        if (!addV) return false;
-        pending.set(i, qAdd(v, qMul(alpha2, addV)));
+    let beta = alphas[layerIdx];
+    for (let t = 0; t < f; t++) {
+      const lvl = log - t; // level being folded (size 2^lvl)
+      const nLvl = 1 << lvl;
+      const nxt = new Map();
+      for (const p of sets[t + 1]) {
+        const sib = nLvl - 1 - p;
+        const vP = cur.get(p);
+        const vSib = cur.get(sib);
+        const e = qMulM31(qAdd(vP, vSib), INV2);
+        const oNum = qMulM31(qSub(vP, vSib), INV2);
+        const xTw = lineXAt(lvl, p);
+        const o = qMulM31(oNum, mInv(xTw));
+        nxt.set(p, qAdd(e, qMul(beta, o)));
       }
+      cur = nxt;
+      const k = lvl; // a circle-log-k input mixes at line level k-1
+      if (logset.has(k) && k !== kmax) {
+        const beta2 = qMul(beta, beta);
+        for (const [i, v] of cur) {
+          const addV = circleFoldAt(k, i);
+          if (!addV) return false;
+          cur.set(i, qAdd(v, qMul(beta2, addV)));
+        }
+      }
+      beta = qMul(beta, beta);
     }
+    pending = cur;
+    curLineLog -= f;
+    layerIdx += 1;
   }
 
   // Last layer: strided coefficients, evaluate the line basis at x.
@@ -502,7 +539,7 @@ function verifyParsed(pf, st, onPhase) {
       ch.mixRoot(pf.fri.layerRoots[idx]);
       alphas.push(ch.drawFelt());
       idx++;
-      curLog--;
+      curLog -= Math.min(pf.foldsPerLayer, curLog - lastLineLog);
     }
     if (pf.fri.layerRoots.length !== alphas.length) return fail(VerifyError.FRI, 'too many FRI layers');
     if (pf.fri.lastLayerCoeffs.length !== 1 << pf.logLastLayer) {
@@ -525,7 +562,7 @@ function verifyParsed(pf, st, onPhase) {
 
   // --- tree decommitments -------------------------------------------------------
   onPhase('decommit');
-  const need = neededInputPositions(positions, inputLogs);
+  const need = neededInputPositions(positions, inputLogs, pf.foldsPerLayer, lastLineLog);
   const opened = new Map(); // "tree:col" -> Map<pos, M31 value>
   for (let t = 0; t < 4; t++) {
     const commitLogs = treeLogs[t].map((log) => log + B);
@@ -566,7 +603,7 @@ function verifyParsed(pf, st, onPhase) {
   onPhase('fri');
   const quots = recomputeQuotients(samples, opened, need, gamma);
   if (!quots) return fail(VerifyError.FRI, 'quotient recomputation failed');
-  if (!friCheckQueries(pf.fri, B, pf.logLastLayer, alpha0, alphas, quots, inputLogs, positions)) {
+  if (!friCheckQueries(pf.fri, B, pf.logLastLayer, pf.foldsPerLayer, alpha0, alphas, quots, inputLogs, positions)) {
     return fail(VerifyError.FRI, 'FRI query check failed');
   }
   return { success: true, code: VerifyError.OK, error: null };

@@ -110,12 +110,15 @@ export function parseSettings(bytes) {
 export function parseProof(bytes) {
   const r = new Reader(bytes);
   if (!r.magic('LMVF')) return null;
-  if (r.u32() !== 1) return null;
+  const version = r.u32();
+  if (version !== 1 && version !== 2) return null;
   const pf = {
     powBits: r.u32(),
     logBlowup: r.u32(),
     logLastLayer: r.u32(),
     nQueries: r.u32(),
+    // v2: line-fold steps per committed FRI layer (v1 proofs fold once).
+    foldsPerLayer: 1,
     claim: [],
     sums: [],
     roots: [],
@@ -125,6 +128,10 @@ export function parseProof(bytes) {
     treeWitnesses: [],
     fri: { layerRoots: [], layerQueriedValues: [], layerWitnesses: [], lastLayerCoeffs: [] },
   };
+  if (version >= 2) {
+    pf.foldsPerLayer = r.u32();
+    if (pf.foldsPerLayer < 1 || pf.foldsPerLayer > 8) return null;
+  }
   const nClaim = r.u32();
   if (nClaim > 32) return null;
   for (let i = 0; i < nClaim; i++) {

@@ -9,6 +9,8 @@ root:
 
 Fixtures (committed to the repo so CI needs no Python):
   simple.{lmv,lms}    mul+add graph (examples/simple.py shape)
+  simple_f1.lmv       same graph proven with folds_per_layer=1 (covers the
+                      single-fold FRI path of the wire/verifier)
   all_ops.{lmv,lms}   every component incl. sin/exp2/log2 LUTs + range check
   tampered.lmv        simple.lmv with one flipped trace byte (must fail)
 """
@@ -70,6 +72,28 @@ def main():
     manifest = {}
     for name, build in [("simple", build_simple), ("all_ops", build_all_ops)]:
         proof, settings = prove_graph(build)
+        if name == "simple":
+            # Single-fold FRI variant: exercises the folds_per_layer=1 path.
+            cfg1 = PcsConfig(
+                pow_bits=1,
+                fri=FriConfig(
+                    log_blowup_factor=1, log_last_layer_degree_bound=0,
+                    n_queries=6, folds_per_layer=1,
+                ),
+            )
+            cx1 = Graph()  # noqa: F405
+            build_simple(cx1)
+            cx1.compile()
+            st1 = gen_circuit_settings(cx1)  # noqa: F405
+            p1 = prove(gen_trace(cx1, st1), st1, config=cfg1)  # noqa: F405
+            assert verify(p1, st1)  # noqa: F405
+            with open(os.path.join(OUT, "simple_f1.lmv"), "wb") as f:
+                f.write(serde.proof_to_flat_bytes(p1))
+            manifest["simple_f1"] = {
+                "proof": "simple_f1.lmv",
+                "settings": "simple.lms",
+                "expect": "success",
+            }
         pbytes = serde.proof_to_flat_bytes(proof)
         sbytes = serde.settings_to_flat_bytes(settings)
         with open(os.path.join(OUT, f"{name}.lmv"), "wb") as f:
