@@ -240,9 +240,14 @@ def _run(graph: Graph, record_trace: bool, settings: Optional[CircuitSettings],
                 # consume the raw buffer element-by-element (this is what
                 # keeps slices LogUp-balanced -- reference op/prim.rs:253-301);
                 # rows beyond the input length consume nothing (improvement
-                # over the reference, which consumed (0, id) there).
+                # over the reference, which consumed (0, id) there).  Each
+                # raw element is consumed F times, F = the edge's broadcast
+                # factor: the producer yields every element F times through
+                # this view (expansion_adjusted_consumers), whether or not a
+                # slice actually references it.
+                factor = view.expansion_factor()
                 input_mult = np.zeros(n, dtype=np.uint32)
-                input_mult[:n_in] = NEG1
+                input_mult[:n_in] = np.uint32(((1 << 31) - 1 - factor) % ((1 << 31) - 1))
                 om = np.zeros(n, dtype=np.uint32)
                 om[:n_out] = out_mult(nid)
                 buffers[nid] = out
