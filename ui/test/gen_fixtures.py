@@ -44,7 +44,7 @@ def prove_graph(build):
     pie = gen_trace(cx, settings)  # noqa: F405
     proof = prove(pie, settings, config=CFG)  # noqa: F405
     assert verify(proof, settings)  # noqa: F405
-    return proof, settings
+    return proof, settings, cx
 
 
 def build_simple(cx):
@@ -71,7 +71,9 @@ def main():
     os.makedirs(OUT, exist_ok=True)
     manifest = {}
     for name, build in [("simple", build_simple), ("all_ops", build_all_ops)]:
-        proof, settings = prove_graph(build)
+        proof, settings, cx = prove_graph(build)
+        with open(os.path.join(OUT, f"{name}.dot"), "w") as f:
+            f.write(cx.graph_viz())
         if name == "simple":
             # Single-fold FRI variant: exercises the folds_per_layer=1 path.
             cfg1 = PcsConfig(
