@@ -66,8 +66,12 @@ def time_prove(pie, settings, accel_on: bool, repeats: int = 1):
 def main():
     pie, settings, cells, trace_s = build_pie()
 
-    # Host numpy baseline.
-    _, host_s, _ = time_prove(pie, settings, accel_on=False)
+    # Host numpy baseline.  At large N the host prover takes tens of
+    # minutes; LUMINAIR_BENCH_HOST=0 skips it (vs_baseline reported as 0).
+    if os.environ.get("LUMINAIR_BENCH_HOST", "1") == "1":
+        _, host_s, _ = time_prove(pie, settings, accel_on=False)
+    else:
+        host_s = 0.0
 
     # TPU-accelerated path: one warmup (jit compile), then timed.
     time_prove(pie, settings, accel_on=True)
