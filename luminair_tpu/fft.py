@@ -136,14 +136,45 @@ def extend_coeffs_and_fft(coeffs, log_blowup: int, twiddles_big=None):
     return fft(ext, twiddles_big)
 
 
+def _soa_mul_scalar(c0, c1, c2, c3, t):
+    """QM31 multiply in structure-of-arrays form: four (..., N) coordinate
+    arrays times one scalar QM31 t (4,).  Returns four coordinate arrays.
+
+    SoA keeps every intermediate a plain (..., N) array with the long axis
+    minor -- an AoS (..., N, 4) layout gets its trailing dim padded to the
+    TPU's 128-lane tile (32x HBM blowup on materialized temps, the cause of
+    the N=1024 OODS OOM)."""
+    e, f, g, h = t[..., 0], t[..., 1], t[..., 2], t[..., 3]
+    ac_r = m31.sub(m31.mul(c0, e), m31.mul(c1, f))
+    ac_i = m31.add(m31.mul(c0, f), m31.mul(c1, e))
+    bd_r = m31.sub(m31.mul(c2, g), m31.mul(c3, h))
+    bd_i = m31.add(m31.mul(c2, h), m31.mul(c3, g))
+    ad_r = m31.sub(m31.mul(c0, g), m31.mul(c1, h))
+    ad_i = m31.add(m31.mul(c0, h), m31.mul(c1, g))
+    bc_r = m31.sub(m31.mul(c2, e), m31.mul(c3, f))
+    bc_i = m31.add(m31.mul(c2, f), m31.mul(c3, e))
+    # R * BD = (2 + i)(bd_r + bd_i i)
+    rbd_r = m31.sub(m31.add(bd_r, bd_r), bd_i)
+    rbd_i = m31.add(bd_r, m31.add(bd_i, bd_i))
+    return (
+        m31.add(ac_r, rbd_r),
+        m31.add(ac_i, rbd_i),
+        m31.add(ad_r, bc_r),
+        m31.add(ad_i, bc_i),
+    )
+
+
 def eval_at_point(coeffs, point):
     """Evaluate base-field coefficient vectors at a QM31 circle point.
 
     coeffs: (..., N) uint32;  point: (x, y) with each a (4,) QM31.
-    Returns (..., 4) QM31.
+    Returns (..., 4) QM31.  Folds in SoA form (see _soa_mul_scalar).
     """
+    xp = m31._xp(coeffs)
     n = coeffs.shape[-1]
     log_n = n.bit_length() - 1
+    if log_n == 0:
+        return qm31.from_m31(coeffs[..., 0], xp)
     x, y = point
     # Twiddle chain MSB..LSB: [y, x, pi(x), ..., pi^(n-2)(x)]
     ts = [y]
@@ -151,13 +182,22 @@ def eval_at_point(coeffs, point):
     for _ in range(log_n - 1):
         ts.append(cur)
         cur = circle.pi_x_qm31(cur)
-    # Lift coeffs to QM31 and fold from the LSB upwards.
-    a = qm31.from_m31(coeffs, m31._xp(coeffs))  # (..., N, 4)
-    for lvl in range(log_n - 1, -1, -1):
+    # First fold straight from M31 coefficients (lo + hi*t lifts to QM31).
+    t = ts[log_n - 1]
+    lo, hi = coeffs[..., 0::2], coeffs[..., 1::2]
+    c = (
+        m31.add(lo, m31.mul(hi, t[..., 0])),
+        m31.mul(hi, t[..., 1]),
+        m31.mul(hi, t[..., 2]),
+        m31.mul(hi, t[..., 3]),
+    )
+    for lvl in range(log_n - 2, -1, -1):
         t = ts[lvl]
-        a = a.reshape(a.shape[:-2] + (a.shape[-2] // 2, 2, 4))
-        a = qm31.add(a[..., 0, :], qm31.mul(a[..., 1, :], _bcast(t, a[..., 1, :].shape)))
-    return a[..., 0, :]
+        lo = tuple(ck[..., 0::2] for ck in c)
+        hi = tuple(ck[..., 1::2] for ck in c)
+        hit = _soa_mul_scalar(*hi, t)
+        c = tuple(m31.add(l, h) for l, h in zip(lo, hit))
+    return xp.stack([ck[..., 0] for ck in c], axis=-1)
 
 
 def basis_at_point(log_n: int, point):

@@ -67,7 +67,15 @@ def _build(kind: str):
     return pie, settings
 
 
-@pytest.mark.parametrize("kind", ["muladd", "wide"])
+@pytest.mark.parametrize(
+    "kind",
+    [
+        "muladd",
+        # The wide graph jit-compiles ~30 kernels (every component's
+        # witness/domain/fold shapes) -- tens of minutes on XLA-CPU.
+        pytest.param("wide", marks=pytest.mark.slow),
+    ],
+)
 def test_accel_prove_verify_and_bit_exact(accel_on, kind):
     pie, settings = _build(kind)
     proof_dev = prove(pie, settings, CFG)
