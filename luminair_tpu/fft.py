@@ -37,6 +37,69 @@ def _xp(a):
     return m31._xp(a)
 
 
+# Block sizes below this would ideally run their butterflies in a
+# transposed layout: in the natural (..., n_blocks, m) view a small-m
+# stage's slices have minor dim m/2 < the TPU's 128-lane tile, so every
+# such stage runs the FULL array at <= m/256 lane efficiency.
+#
+# DISABLED (0): the transposed path triggered a silent miscompilation on
+# the axon TPU backend at exactly shape (4, 128, 32768) -- ifft of
+# (4, 2^22) returned wrong values while (3, 2^22), (4, 2^21) and
+# (4, 2^23) were all correct, and the identical code is right on JAX-CPU
+# at every size.  Until the small stages move into a Pallas kernel (where
+# the layout is explicit), correctness wins over the ~25% LDE speedup.
+_SMALL_M = 0
+
+
+def _small_stages_ifft(a, twiddles_inv, stage, m, n_blocks, xp):
+    """Finish iFFT line stages for m < _SMALL_M in transposed layout.
+
+    a: (..., n) with n = n_blocks * m.  Returns (..., n)."""
+    n = a.shape[-1]
+    M0 = m
+    nb0 = n // M0
+    # (..., nb0, M0) -> (..., M0, nb0): block axis becomes minor.
+    at = xp.swapaxes(a.reshape(a.shape[:-1] + (nb0, M0)), -1, -2)
+    while m >= 2:
+        t = twiddles_inv[stage][:, None]  # (m/2, 1) broadcasts over nb axis
+        blocks = at.reshape(at.shape[:-2] + (M0 // m, m, nb0))
+        v0 = blocks[..., : m // 2, :]
+        v1 = blocks[..., m // 2 :, :][..., ::-1, :]
+        e = m31.mul(m31.add(v0, v1), _half(xp, m // 2))
+        o = m31.mul(m31.sub(v0, v1), t)
+        at = xp.concatenate([e, o], axis=-2).reshape(at.shape[:-2] + (M0, nb0))
+        m //= 2
+        stage += 1
+    return xp.swapaxes(at, -1, -2).reshape(a.shape[:-1] + (n,))
+
+
+def _small_stages_fft(a, twiddles, log_n, xp, m_start=2):
+    """Run forward-FFT line stages for m < _SMALL_M in transposed layout.
+
+    Returns (a, m, n_blocks, stage) ready for the natural-layout stages."""
+    n = a.shape[-1]
+    M0 = min(_SMALL_M // 2, n // 2)
+    if M0 < m_start:
+        return a, m_start, n // m_start, log_n - m_start.bit_length() + 1
+    nb0 = n // M0
+    at = xp.swapaxes(a.reshape(a.shape[:-1] + (nb0, M0)), -1, -2)
+    m = m_start
+    stage = log_n - m_start.bit_length() + 1
+    while m <= M0:
+        t = twiddles[stage][:, None]  # (m/2, 1)
+        blocks = at.reshape(at.shape[:-2] + (M0 // m, m, nb0))
+        e = blocks[..., : m // 2, :]
+        o = blocks[..., m // 2 :, :]
+        to = m31.mul(t, o)
+        v0 = m31.add(e, to)
+        v1 = m31.sub(e, to)[..., ::-1, :]
+        at = xp.concatenate([v0, v1], axis=-2).reshape(at.shape[:-2] + (M0, nb0))
+        m *= 2
+        stage -= 1
+    a = xp.swapaxes(at, -1, -2).reshape(a.shape[:-1] + (n,))
+    return a, m, n // m, stage
+
+
 def ifft(values, twiddles_inv=None):
     """Interpolate: domain values (..., N) -> coefficients (..., N)."""
     xp = _xp(values)
@@ -53,7 +116,6 @@ def ifft(values, twiddles_inv=None):
     t = twiddles_inv[0]  # 1/(2 y_i), length N/2
     v0 = a[..., : n // 2]
     v1 = a[..., n // 2 :][..., ::-1]
-    inv2 = t  # combined below
     e = m31.mul(m31.add(v0, v1), _half(xp, n // 2))
     o = m31.mul(m31.sub(v0, v1), t)
     a = xp.concatenate([e, o], axis=-1)
@@ -63,6 +125,8 @@ def ifft(values, twiddles_inv=None):
     m = n // 2
     stage = 1
     while m >= 2:
+        if xp is not np and m < _SMALL_M and n >= 2 * _SMALL_M:
+            return _small_stages_ifft(a, twiddles_inv, stage, m, n_blocks, xp)
         t = twiddles_inv[stage]  # 1/(2 x_j), length m/2
         blocks = a.reshape(a.shape[:-1] + (n_blocks, m))
         v0 = blocks[..., : m // 2]
@@ -76,8 +140,12 @@ def ifft(values, twiddles_inv=None):
     return a
 
 
-def fft(coeffs, twiddles=None):
-    """Evaluate: coefficients (..., N) -> domain values (..., N)."""
+def fft(coeffs, twiddles=None, m_start=2):
+    """Evaluate: coefficients (..., N) -> domain values (..., N).
+
+    m_start > 2 skips the deepest line stages -- the caller guarantees the
+    array already holds the stage-(m_start/2) output (used by the blowup-1
+    LDE, whose zero-extended first stage collapses to duplication)."""
     xp = _xp(coeffs)
     n = coeffs.shape[-1]
     log_n = n.bit_length() - 1
@@ -88,10 +156,11 @@ def fft(coeffs, twiddles=None):
         twiddles = circle.fft_twiddles(log_n)
 
     a = coeffs
+    if xp is not np and n >= 2 * _SMALL_M:
+        a, m, n_blocks, stage = _small_stages_fft(a, twiddles, log_n, xp, m_start)
+    else:
+        m, n_blocks, stage = m_start, n // m_start, log_n - m_start.bit_length() + 1
     # Line stages in reverse (deepest first: block size 2 ... up to N/2).
-    m = 2
-    n_blocks = n // 2
-    stage = log_n - 1
     while m <= n // 2:
         t = twiddles[stage]  # x twiddles, length m/2
         blocks = a.reshape(a.shape[:-1] + (n_blocks, m))
@@ -127,6 +196,14 @@ def extend_coeffs_and_fft(coeffs, log_blowup: int, twiddles_big=None):
     xp = _xp(coeffs)
     n = coeffs.shape[-1]
     big_n = n << log_blowup
+    if log_blowup == 1 and n > 1:
+        # Zero-extending by stride 2 makes the deepest FFT stage trivial:
+        # each m=2 block is [c, 0] -> [c, c].  Materialize that directly
+        # (duplicate-interleave) and skip both the zeros scatter and the
+        # first stage -- a strided minor-axis scatter is one of the slowest
+        # patterns on the TPU.
+        a = xp.stack([coeffs, coeffs], axis=-1).reshape(coeffs.shape[:-1] + (big_n,))
+        return fft(a, twiddles_big, m_start=4)
     stride = 1 << log_blowup
     ext = xp.zeros(coeffs.shape[:-1] + (big_n,), dtype=xp.uint32)
     if xp is np:
