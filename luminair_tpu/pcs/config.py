@@ -38,6 +38,19 @@ class FriConfig:
     # fold-per-commit FRI; queries open 2^folds-position cosets per layer.
     folds_per_layer: int = 2
 
+    def __post_init__(self):
+        # Match the range the native/JS wire parsers enforce so verifier
+        # behavior never diverges across implementations for one config.
+        if not (1 <= int(self.folds_per_layer) <= 8):
+            raise ValueError(
+                f"folds_per_layer must be in 1..8, got {self.folds_per_layer}"
+            )
+        if not (0 <= int(self.log_last_layer_degree_bound) <= 30):
+            raise ValueError(
+                "log_last_layer_degree_bound must be in 0..30, got "
+                f"{self.log_last_layer_degree_bound}"
+            )
+
 
 @dataclass
 class PcsConfig:

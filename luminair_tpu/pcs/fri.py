@@ -294,6 +294,14 @@ def fri_replay(proof: FriProof, config: FriConfig, channel, input_logs: List[int
     logs = sorted(input_logs, reverse=True)
     kmax = logs[0]
     last_line_log = config.log_blowup_factor + config.log_last_layer_degree_bound
+    # Soundness: every input's line level (circle_log - 1) must be reached by
+    # the fold chain, i.e. last_line_log <= min(input_logs) - 1.  input_logs
+    # come from the trusted claim/settings; config rides the untrusted proof,
+    # so without this check a forged proof with a large last-layer bound
+    # never mixes the smallest inputs into FRI, leaving their committed
+    # columns unbound.  Mirrors the prover-side assert in fri_prove.
+    if last_line_log > min(logs) - 1:
+        return None
 
     F = max(1, int(getattr(config, "folds_per_layer", 1)))
     alpha0 = channel.draw_felt()

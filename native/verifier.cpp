@@ -742,6 +742,9 @@ static bool parse_proof(Reader& r, Proof& pf) {
   pf.pow_bits = (int)r.u32();
   pf.log_blowup = (int)r.u32();
   pf.log_last_layer = (int)r.u32();
+  // Bound before any `1 << log_last_layer`: values >= 64 are UB on size_t
+  // shifts and huge values distort last_line_log arithmetic downstream.
+  if (pf.log_last_layer > 30) return false;
   pf.n_queries = (int)r.u32();
   // v2: line-fold steps per committed FRI layer (v1 proofs fold once).
   pf.folds_per_layer = version >= 2 ? (int)r.u32() : 1;

@@ -171,3 +171,52 @@ class TestMultiFoldLayers:
                   7: make_low_degree(7, 1)}
         ok, _ = run_roundtrip(inputs, cfg)
         assert ok
+
+
+class TestUntrustedLastLayerBound:
+    """ADVICE r2 (high): the last-layer degree bound rides the untrusted
+    proof config; fri_replay must reject any bound whose last_line_log
+    exceeds min(input_logs) - 1, otherwise the smallest inputs are never
+    mixed into the fold chain and their committed columns are unbound."""
+
+    def test_replay_rejects_bound_skipping_smallest_input(self):
+        cfg = FriConfig(log_blowup_factor=1, log_last_layer_degree_bound=5, n_queries=6)
+        # Inputs at circle logs 9 and 6: last_line_log = 6 > min-1 = 5.
+        proof = fri.FriProof(
+            layer_roots=[np.zeros(8, dtype=np.uint32)] * 2,
+            layer_queried_values=[],
+            layer_witnesses=[],
+            last_layer_coeffs=np.zeros((32, 4), dtype=np.uint32),
+        )
+        ch = Blake2sChannel()
+        assert fri.fri_replay(proof, cfg, ch, [9, 6]) is None
+
+    def test_replay_accepts_maximal_valid_bound(self):
+        cfg = FriConfig(log_blowup_factor=1, log_last_layer_degree_bound=4, n_queries=6)
+        # last_line_log = 5 == min-1: valid; the honest prover's clamp
+        # produces exactly this edge.
+        inputs = {9: make_low_degree(9, 1), 6: make_low_degree(6, 1)}
+        ok, _ = run_roundtrip(inputs, cfg)
+        assert ok
+
+    def test_config_validation_matches_wire_parsers(self):
+        with pytest.raises(ValueError):
+            FriConfig(folds_per_layer=0)
+        with pytest.raises(ValueError):
+            FriConfig(folds_per_layer=9)
+        with pytest.raises(ValueError):
+            FriConfig(log_last_layer_degree_bound=31)
+        from luminair_tpu.pcs.config import PcsConfig
+
+        with pytest.raises(ValueError):
+            PcsConfig.from_dict(
+                {
+                    "pow_bits": 1,
+                    "fri": {
+                        "log_blowup_factor": 1,
+                        "log_last_layer_degree_bound": 0,
+                        "n_queries": 4,
+                        "folds_per_layer": 0,
+                    },
+                }
+            )

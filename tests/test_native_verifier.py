@@ -120,3 +120,34 @@ def test_native_matches_python_acceptance_simple():
     proof = prove(pie, settings, CFG)
     assert verify(proof, settings)
     assert native.verify(proof, settings)
+
+
+def test_native_rejects_oversized_last_layer_bound(all_ops_proof):
+    """ADVICE r2 (high): log_last_layer rides the untrusted proof; a value
+    making last_line_log > min(input_logs) - 1 would let forged proofs skip
+    mixing the smallest inputs into FRI.  The verifier must reject it
+    structurally (ERR_FRI), before any numeric work."""
+    proof, settings = all_ops_proof
+    pb = bytearray(serde.proof_to_flat_bytes(proof))
+    sb = serde.settings_to_flat_bytes(settings)
+    import struct
+
+    # Wire offset 16: magic(4) + version(4) + pow_bits(4) + log_blowup(4).
+    pb[16:20] = struct.pack("<I", 10)
+    with pytest.raises(native.NativeVerifierError) as exc:
+        native.verify_flat(bytes(pb), sb)
+    assert exc.value.code == 8
+    assert "skips smallest" in str(exc.value)
+
+
+def test_native_rejects_huge_last_layer_bound_at_parse(all_ops_proof):
+    """log_last_layer >= 31 is rejected at parse time (shift-UB guard)."""
+    proof, settings = all_ops_proof
+    pb = bytearray(serde.proof_to_flat_bytes(proof))
+    sb = serde.settings_to_flat_bytes(settings)
+    import struct
+
+    pb[16:20] = struct.pack("<I", 40)
+    with pytest.raises(native.NativeVerifierError) as exc:
+        native.verify_flat(bytes(pb), sb)
+    assert exc.value.code == 1

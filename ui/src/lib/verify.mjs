@@ -527,6 +527,12 @@ function verifyParsed(pf, st, onPhase) {
   const inputLogs = [...new Set(samples.map((s) => s.commitLog))].sort((a, b) => b - a);
   const kmax = inputLogs[0];
   const lastLineLog = B + pf.logLastLayer;
+  // Soundness: the fold chain must reach every input's line level
+  // (min inputLog - 1); input logs come from the trusted claim while
+  // logLastLayer rides the untrusted proof.  Mirrors fri.py:fri_replay.
+  if (lastLineLog > inputLogs[inputLogs.length - 1] - 1) {
+    return fail(VerifyError.FRI, 'last layer bound skips smallest FRI input');
+  }
 
   // --- FRI replay (roots + last layer into the channel) ----------------------
   const alpha0 = ch.drawFelt();

@@ -102,3 +102,14 @@ test('DOT parsing and layout', () => {
   assert.equal(byId.get('2').layer, 2);
   assert.ok(laid.width > 0 && laid.height > 0);
 });
+
+test('oversized last-layer bound is rejected structurally (untrusted config)', () => {
+  // ADVICE r2 (high): logLastLayer rides the untrusted proof; a value making
+  // lastLineLog > min(inputLogs) - 1 must be rejected before numeric work.
+  const pf = new Uint8Array(load('all_ops.lmv'));
+  // Wire offset 16: magic(4) + version(4) + powBits(4) + logBlowup(4).
+  new DataView(pf.buffer).setUint32(16, 10, true);
+  const result = verify(pf, load('all_ops.lms'));
+  assert.equal(result.success, false);
+  assert.match(result.errorMessage, /skips smallest|last layer/i);
+});
