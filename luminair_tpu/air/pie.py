@@ -51,10 +51,20 @@ class TraceTable:
         out = {}
         overrides = _PADDING_OVERRIDES.get(self.name, {})
         for name in col_order:
-            col = np.asarray(self.columns[name], dtype=np.uint32)
+            col = self.columns[name]
             pad_val = overrides.get(name, 1 if name in _PADDING_ONES else 0)
-            padded = np.full(size, pad_val, dtype=np.uint32)
-            padded[:n] = col
+            if isinstance(col, np.ndarray):
+                col = np.asarray(col, dtype=np.uint32)
+                padded = np.full(size, pad_val, dtype=np.uint32)
+                padded[:n] = col
+            else:
+                # Device-resident column (device trace generation): pad in
+                # HBM so the PIE never round-trips through the host.
+                import jax.numpy as jnp
+
+                padded = jnp.pad(
+                    col.astype(jnp.uint32), (0, size - n), constant_values=pad_val
+                )
             out[name] = padded
         return out
 

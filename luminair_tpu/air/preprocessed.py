@@ -62,19 +62,22 @@ class LookupLayout:
     def value_count(self) -> int:
         return sum(r.hi - r.lo + 1 for r in self.ranges)
 
-    def find_index(self, targets) -> np.ndarray:
+    def find_index(self, targets, xp=np):
         """Vectorized find_index: position of each raw value in the
         enumeration of all range values; -1 if out of range.
-        (Reference: LookupLayout::find_index, preprocessed.rs:60-115.)"""
-        targets = np.asarray(targets, dtype=np.int64)
+        (Reference: LookupLayout::find_index, preprocessed.rs:60-115.)
+        With xp=jax.numpy this traces onto the device (range bounds are
+        static constants; the search is one vectorized searchsorted)."""
+        targets = xp.asarray(targets, dtype=xp.int64)
         los = np.array([r.lo for r in self.ranges], dtype=np.int64)
         his = np.array([r.hi for r in self.ranges], dtype=np.int64)
         starts = np.concatenate([[0], np.cumsum(his - los + 1)])[:-1]
-        idx = np.searchsorted(los, targets, side="right") - 1
-        idx_c = np.clip(idx, 0, len(los) - 1)
-        in_range = (idx >= 0) & (targets <= his[idx_c]) & (targets >= los[idx_c])
-        out = starts[idx_c] + (targets - los[idx_c])
-        return np.where(in_range, out, -1)
+        idx = xp.searchsorted(xp.asarray(los), targets, side="right") - 1
+        idx_c = xp.clip(idx, 0, len(los) - 1)
+        his_d, los_d, starts_d = (xp.asarray(v) for v in (his, los, starts))
+        in_range = (idx >= 0) & (targets <= his_d[idx_c]) & (targets >= los_d[idx_c])
+        out = starts_d[idx_c] + (targets - los_d[idx_c])
+        return xp.where(in_range, out, -1)
 
     def all_values(self) -> np.ndarray:
         return np.concatenate(

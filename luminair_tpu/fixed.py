@@ -6,7 +6,7 @@ component.rs via numerair's EvalFixedPoint -- numerair itself is not
 vendored in the reference tree, so these exact identities are re-derived
 and locked in by tests):
 
-A value is an integer ``v`` (numpy int64) representing ``v / 2^SCALE`` with
+A value is an integer ``v`` (int64) representing ``v / 2^SCALE`` with
 SCALE = 12 (DEFAULT_FP_SCALE, crates/air/src/lib.rs:23).
 
   add:   out = a + b                                   a + b - out == 0
@@ -21,8 +21,12 @@ trunc = round toward zero (Rust i64 division semantics).  All identities
 hold over the integers, hence over M31 after embedding ``to_m31(v) = v mod p``
 -- which is what the in-circuit constraints check.
 
-Every op here is vectorized int64 numpy; the JAX/TPU execution path in
-graph/ops.py uses the same identities with 32-bit limb arithmetic.
+Every op here is backend-generic int64 arithmetic: with numpy inputs it is
+the host oracle, with jax.numpy inputs (jax_enable_x64) the SAME functions
+trace into the device trace-generation program (graph/device_trace.py).
+The float conversions (from_float/to_float) are host-only: the device path
+never runs float transcendentals -- function inputs are fixed-encoded on
+the host and sin/exp2/log2 outputs come from LUT gathers.
 """
 
 from __future__ import annotations
@@ -30,6 +34,7 @@ from __future__ import annotations
 import numpy as np
 
 from .fields import m31
+from .fields.m31 import _xp
 
 DEFAULT_FP_SCALE = 12
 SCALE_FACTOR = np.int64(1 << DEFAULT_FP_SCALE)
@@ -39,7 +44,7 @@ _SAFE_MAX = float(1 << 62)
 
 
 def from_float(x) -> np.ndarray:
-    """Round-to-nearest fixed encoding of floats.
+    """Round-to-nearest fixed encoding of floats (host-only).
 
     Values beyond +-2^62 (e.g. exp2 of large arguments) saturate instead of
     hitting undefined float->int64 casts; like the reference, such values
@@ -53,29 +58,36 @@ def to_float(v) -> np.ndarray:
     return np.asarray(v, dtype=np.float64) / float(SCALE_FACTOR)
 
 
-def to_m31(v) -> np.ndarray:
-    return m31.from_i64(np.asarray(v, dtype=np.int64))
+def to_m31(v):
+    """v mod p as uint32.  Floor-mod of int64 is non-negative for positive
+    modulus in both numpy and jax, so the embedding matches for negatives."""
+    xp = _xp(v)
+    r = xp.asarray(v, dtype=xp.int64) % np.int64(m31.P)
+    return r.astype(xp.uint32)
 
 
 def add(a, b):
-    return np.asarray(a, np.int64) + np.asarray(b, np.int64)
+    xp = _xp(a, b)
+    return xp.asarray(a, dtype=xp.int64) + xp.asarray(b, dtype=xp.int64)
 
 
 def _trunc_div(a, b):
     """Truncated (toward-zero) division, matching Rust i64 `/`."""
-    a = np.asarray(a, np.int64)
-    b = np.asarray(b, np.int64)
-    q = np.where(b != 0, a // np.where(b == 0, 1, b), 0)
+    xp = _xp(a, b)
+    a = xp.asarray(a, dtype=xp.int64)
+    b = xp.asarray(b, dtype=xp.int64)
+    safe = xp.where(b == 0, xp.ones_like(b), b)
+    q = xp.where(b != 0, a // safe, xp.zeros_like(a))
     r = a - q * b
-    # numpy floor-divides; adjust toward zero when signs differ and r != 0
+    # floor-division rounds down; adjust toward zero when signs differ
     adjust = (r != 0) & ((a < 0) != (b < 0)) & (b != 0)
-    q = q + adjust
-    return q
+    return q + adjust
 
 
 def mul(a, b):
     """Returns (out, rem) with a*b == out*2^S + rem, trunc semantics."""
-    prod = np.asarray(a, np.int64) * np.asarray(b, np.int64)
+    xp = _xp(a, b)
+    prod = xp.asarray(a, dtype=xp.int64) * xp.asarray(b, dtype=xp.int64)
     out = _trunc_div(prod, SCALE_FACTOR)
     rem = prod - out * SCALE_FACTOR
     return out, rem
@@ -83,30 +95,40 @@ def mul(a, b):
 
 def recip(a):
     """Returns (out, rem) with a*out + rem == 2^(2S).  a == 0 -> (0, s^2)."""
-    a = np.asarray(a, np.int64)
+    xp = _xp(a)
+    a = xp.asarray(a, dtype=xp.int64)
     s2 = SCALE_FACTOR * SCALE_FACTOR
-    out = _trunc_div(np.broadcast_to(s2, a.shape).copy(), a)
+    num = xp.full(a.shape, s2, dtype=xp.int64)
+    out = _trunc_div(num, a)
     rem = s2 - a * out
     return out, rem
 
 
 def sqrt(a):
     """Returns (out, rem) with out^2 + rem == a*2^S, out = isqrt(a*2^S)."""
-    a = np.asarray(a, np.int64)
+    xp = _xp(a)
+    a = xp.asarray(a, dtype=xp.int64)
     prod = a * SCALE_FACTOR
-    clipped = np.maximum(prod, 0)
-    out = np.sqrt(clipped.astype(np.float64)).astype(np.int64)
-    # float sqrt may be off by one either way; correct exactly.
-    out = np.where((out + 1) * (out + 1) <= clipped, out + 1, out)
-    out = np.where(out * out > clipped, out - 1, out)
+    clipped = xp.maximum(prod, xp.zeros_like(prod))
+    # Float sqrt is only an ESTIMATE; the clamp below makes it exact.  The
+    # host's correctly-rounded f64 sqrt is within +-1 of isqrt; the TPU's
+    # emulated f64 sqrt was measured within +-1 of the host's, so the
+    # device path clamps twice in each direction (worst case +-2).
+    out = xp.sqrt(clipped.astype(xp.float64)).astype(xp.int64)
+    steps = 1 if xp is np else 2
+    for _ in range(steps):
+        out = xp.where((out + 1) * (out + 1) <= clipped, out + 1, out)
+    for _ in range(steps):
+        out = xp.where(out * out > clipped, out - 1, out)
     rem = prod - out * out
     return out, rem
 
 
 def div_rem(a, b):
     """Fixed `Mod`: q = trunc(a/b), rem = a - q*b.  b == 0 -> (0, a)."""
-    a = np.asarray(a, np.int64)
-    b = np.asarray(b, np.int64)
+    xp = _xp(a, b)
+    a = xp.asarray(a, dtype=xp.int64)
+    b = xp.asarray(b, dtype=xp.int64)
     q = _trunc_div(a, b)
     rem = a - q * b
     return q, rem
@@ -118,11 +140,12 @@ def less_than(a, b):
 
     Returns (out_fixed, borrow, diff): if a < b: out = 1.0 (fixed), borrow=0,
     diff = b - a;  else out = 0, borrow = 1, diff = b - a + (2^31 - 1)."""
-    a = np.asarray(a, np.int64)
-    b = np.asarray(b, np.int64)
+    xp = _xp(a, b)
+    a = xp.asarray(a, dtype=xp.int64)
+    b = xp.asarray(b, dtype=xp.int64)
     two_pow_k = np.int64((1 << 31) - 1)
     lt = a < b
-    out = np.where(lt, SCALE_FACTOR, 0).astype(np.int64)
-    borrow = np.where(lt, 0, 1).astype(np.int64)
-    diff = b - a + np.where(lt, 0, two_pow_k)
+    out = xp.where(lt, SCALE_FACTOR, 0).astype(xp.int64)
+    borrow = xp.where(lt, 0, 1).astype(xp.int64)
+    diff = b - a + xp.where(lt, np.int64(0), two_pow_k)
     return out, borrow, diff

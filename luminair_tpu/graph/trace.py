@@ -351,9 +351,28 @@ def execute(graph: Graph):
     _run(graph, record_trace=False, settings=None, collect_ranges=False)
 
 
-def gen_circuit_settings(graph: Graph) -> CircuitSettings:
+def _auto_device(graph: Graph) -> bool:
+    from ..parallel import accel
+
+    if not accel.enabled():
+        return False
+    from . import device_trace
+
+    return accel.offload_rows(device_trace.estimated_rows(graph))
+
+
+def gen_circuit_settings(graph: Graph, device: Optional[bool] = None) -> CircuitSettings:
     """Pre-execute the graph to discover LUT value ranges
-    (reference graph.rs:61-159)."""
+    (reference graph.rs:61-159).  With the device engine enabled and a
+    large enough graph, runs on the TPU (graph/device_trace.py)."""
+    if not graph.compiled:
+        graph.compile()
+    if device is None:
+        device = _auto_device(graph)
+    if device:
+        from . import device_trace
+
+        return device_trace.gen_circuit_settings_device(graph)
     _, _, ranges, rc, _, _ = _run(
         graph, record_trace=False, settings=None, collect_ranges=True
     )
@@ -367,8 +386,21 @@ def gen_circuit_settings(graph: Graph) -> CircuitSettings:
     return CircuitSettings(lookups=lk)
 
 
-def gen_trace(graph: Graph, settings: CircuitSettings) -> LuminairPie:
-    """Execute and capture all trace tables (reference graph.rs:161-604)."""
+def gen_trace(graph: Graph, settings: CircuitSettings, device: Optional[bool] = None) -> LuminairPie:
+    """Execute and capture all trace tables (reference graph.rs:161-604).
+
+    With the device engine enabled and a large enough graph, the whole
+    interpreter runs as one XLA program and the PIE columns stay in HBM
+    (graph/device_trace.py); prove() then consumes them without a host
+    round trip."""
+    if not graph.compiled:
+        graph.compile()
+    if device is None:
+        device = _auto_device(graph)
+    if device:
+        from . import device_trace
+
+        return device_trace.gen_trace_device(graph, settings)
     tables, op_counter, _, _, lut_mults, rc_mults = _run(
         graph, record_trace=True, settings=settings, collect_ranges=False
     )

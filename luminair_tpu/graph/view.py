@@ -172,22 +172,25 @@ class View:
 
     # -- resolution -------------------------------------------------------
 
-    def gather(self, buffer: np.ndarray) -> np.ndarray:
+    def gather(self, buffer, xp=np):
         """Read the full logical index space from a physical buffer.
 
         Returns an (n_elements,) array; invalid (padded) positions are 0.
         Vectorized equivalent of the reference's per-element get_index
-        (crates/graph/src/utils.rs:27-39)."""
-        phys, valid = self.indices()
-        vals = buffer[np.clip(phys, 0, len(buffer) - 1)]
-        return np.where(valid, vals, np.zeros_like(vals))
+        (crates/graph/src/utils.rs:27-39).  With xp=jax.numpy the same
+        index math traces into the device trace-generation program (all
+        sizes/strides are static, so XLA constant-folds the coordinate
+        arithmetic)."""
+        phys, valid = self.indices(xp)
+        vals = buffer[xp.clip(phys, 0, len(buffer) - 1)]
+        return xp.where(valid, vals, xp.zeros_like(vals))
 
-    def indices(self):
+    def indices(self, xp=np):
         """(physical_index, valid) arrays over the logical index space."""
         n = self.n_elements
-        idx = np.arange(n, dtype=np.int64)
-        phys = np.full(n, self.base, dtype=np.int64)
-        valid = np.ones(n, dtype=bool)
+        idx = xp.arange(n, dtype=xp.int64)
+        phys = xp.full(n, self.base, dtype=xp.int64)
+        valid = xp.ones(n, dtype=bool)
         # per-dim coordinates, most-significant first (C order)
         coords = []
         for i, size in enumerate(self.sizes):
