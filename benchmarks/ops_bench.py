@@ -72,6 +72,7 @@ def build_graph(op: str, n: int):
 
 
 def bench_op(op: str, n: int, iters: int, warmup: int):
+    from luminair_tpu import native, serde
     from luminair_tpu.prelude import (
         gen_circuit_settings,
         gen_trace,
@@ -95,8 +96,16 @@ def bench_op(op: str, n: int, iters: int, warmup: int):
 
     pie, t_trace = timed(lambda: gen_trace(cx, settings))
     proof, t_prove = timed(lambda: prove(pie, settings))
-    ok, t_verify = timed(lambda: verify(proof, settings))
-    assert ok, f"{op}: proof failed verification"
+    # The measured verifier is the NATIVE (C++) one -- the production
+    # verification path, matching the reference's benched Rust verifier
+    # (crates/graph/benches/ops.rs Verification groups).  Serialization is
+    # done once outside the timed region, like the reference's.
+    pb = serde.proof_to_flat_bytes(proof)
+    sb = serde.settings_to_flat_bytes(settings)
+    native.build()  # untimed one-time compile
+    ok, t_verify = timed(lambda: native.verify_flat(pb, sb))
+    assert ok, f"{op}: proof failed native verification"
+    assert verify(proof, settings), f"{op}: python/native verifier disagree"
     return {
         "Trace Generation": t_trace,
         "Proving": t_prove,

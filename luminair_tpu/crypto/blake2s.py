@@ -144,6 +144,23 @@ def hash_words(words):
     byte_len = 4 * L
     n_blocks = max(1, -(-L // 16))
 
+    # Small host batches: hashlib's C implementation beats the vectorized
+    # numpy path below ~1k messages (the numpy path costs ~2 ms in fixed
+    # per-op overhead regardless of batch size).  Bit-identical by
+    # definition -- the vectorized path is tested against hashlib.
+    if xp is np:
+        n_msgs = int(np.prod(batch)) if batch else 1
+        if n_msgs <= 1024:
+            import hashlib
+
+            flat = np.ascontiguousarray(words.reshape(-1, L).astype("<u4"))
+            out = np.empty((n_msgs, 8), dtype=np.uint32)
+            for i in range(n_msgs):
+                out[i] = np.frombuffer(
+                    hashlib.blake2s(flat[i].tobytes()).digest(), dtype="<u4"
+                )
+            return out.reshape(batch + (8,))
+
     h0 = IV.copy()
     h0[0] ^= np.uint32(0x01010000 ^ 32)
     h = xp.broadcast_to(

@@ -140,7 +140,15 @@ def pow_const(a, e: int):
 def inv(a):
     """Inverse via Fermat: a^(p-2) with an addition chain.  Fully parallel
     (~37 muls); on TPU this beats a sequential Montgomery batch-inversion
-    scan because every lane works independently."""
+    scan because every lane works independently.
+
+    Tiny host inputs take the python-int pow() path: ~37 numpy ops on a
+    handful of elements cost ~0.5 ms of pure dispatch overhead, while
+    pow(x, p-2, p) is ~1 us per element (transcript-side scalar work)."""
+    if isinstance(a, np.ndarray) and a.size <= 8:
+        p = int(P)
+        flat = [pow(int(x), p - 2, p) if int(x) else 0 for x in np.ravel(a)]
+        return np.asarray(flat, dtype=np.uint32).reshape(np.shape(a))
     return _inv_chain(a)
 
 

@@ -68,8 +68,40 @@ def _cm_mul(ar, ai, br, bi):
     return rr, ri
 
 
+_P = int(m31.P)
+
+
+def _mul_scalar(x, y):
+    """Python-int fast path for a single QM31 product: tiny numpy arrays pay
+    ~20 us of per-op dispatch overhead PER field op, so transcript-side
+    scalar arithmetic (composition check, FRI replay) is ~40x faster on
+    ints.  Bit-identical: all inputs are canonical mod p."""
+    a, b, c, d = (int(v) for v in x)
+    e, f, g, h = (int(v) for v in y)
+    ac_r, ac_i = (a * e - b * f) % _P, (a * f + b * e) % _P
+    bd_r, bd_i = (c * g - d * h) % _P, (c * h + d * g) % _P
+    ad_r, ad_i = (a * g - b * h) % _P, (a * h + b * g) % _P
+    bc_r, bc_i = (c * e - d * f) % _P, (c * f + d * e) % _P
+    return np.array(
+        [
+            (ac_r + 2 * bd_r - bd_i) % _P,
+            (ac_i + bd_r + 2 * bd_i) % _P,
+            (ad_r + bc_r) % _P,
+            (ad_i + bc_i) % _P,
+        ],
+        dtype=np.uint32,
+    )
+
+
 def mul(x, y):
     """QM31 product of (..., 4) arrays."""
+    if (
+        isinstance(x, np.ndarray)
+        and isinstance(y, np.ndarray)
+        and x.shape == (4,)
+        and y.shape == (4,)
+    ):
+        return _mul_scalar(x, y)
     xp = _xp(x, y)
     a, b, c, d = x[..., 0], x[..., 1], x[..., 2], x[..., 3]
     e, f, g, h = y[..., 0], y[..., 1], y[..., 2], y[..., 3]
@@ -104,8 +136,30 @@ def _cm_inv(ar, ai):
     return m31.mul(ar, ninv), m31.mul(m31.neg(ai), ninv)
 
 
+def _inv_scalar(x):
+    a, b, c, d = (int(v) for v in x)
+    a2_r, a2_i = (a * a - b * b) % _P, (2 * a * b) % _P
+    b2_r, b2_i = (c * c - d * d) % _P, (2 * c * d) % _P
+    den_r = (a2_r - (2 * b2_r - b2_i)) % _P
+    den_i = (a2_i - (b2_r + 2 * b2_i)) % _P
+    n = (den_r * den_r + den_i * den_i) % _P
+    ninv = pow(n, _P - 2, _P)
+    di_r, di_i = (den_r * ninv) % _P, (-den_i * ninv) % _P
+    return np.array(
+        [
+            (a * di_r - b * di_i) % _P,
+            (a * di_i + b * di_r) % _P,
+            (-c * di_r + d * di_i) % _P,
+            (-c * di_i - d * di_r) % _P,
+        ],
+        dtype=np.uint32,
+    )
+
+
 def inv(x):
     """QM31 inverse via the tower: (A + Bu)^-1 = (A - Bu)/(A^2 - R B^2)."""
+    if isinstance(x, np.ndarray) and x.shape == (4,):
+        return _inv_scalar(x)
     xp = _xp(x)
     a, b, c, d = x[..., 0], x[..., 1], x[..., 2], x[..., 3]
     a2_r, a2_i = _cm_mul(a, b, a, b)

@@ -323,7 +323,7 @@ class CommitmentSchemeVerifier:
             xs, ys = _circle.domain_points(log)
             idx = np.asarray(poss, dtype=np.int64)
             domains[log] = (xs[idx], ys[idx])
-            pos_index[log] = {int(p): j for j, p in enumerate(poss)}
+            pos_index[log] = idx  # sorted
         col_arrays = {}
         for s in samples:
             key = (s.tree, s.col)
@@ -336,7 +336,9 @@ class CommitmentSchemeVerifier:
         quots = accumulate_quotients(samples, col_arrays, gamma, domains)
 
         def query_eval(circle_log, pos):
-            return quots[circle_log][pos_index[circle_log][int(pos)]]
+            # Vectorized: pos is an int64 array; opened positions are sorted.
+            j = np.searchsorted(pos_index[circle_log], np.asarray(pos, dtype=np.int64))
+            return quots[circle_log][j]
 
         return fri_mod.fri_check_queries(
             proof.fri_proof,

@@ -24,6 +24,27 @@ from .errors import InvalidLogUpError, StwoVerifierError
 from .prover import LuminairProof
 
 
+_PP_ROOT_CACHE: Dict[tuple, np.ndarray] = {}
+
+
+def _preprocessed_root(layout: AirLayout, settings, log_blowup: int) -> np.ndarray:
+    from . import serde
+    from .pcs.scheme import TreeProver
+
+    key = (
+        serde.settings_to_flat_bytes(settings),
+        tuple(layout.pp_logs()),
+        int(log_blowup),
+    )
+    root = _PP_ROOT_CACHE.get(key)
+    if root is None:
+        if len(_PP_ROOT_CACHE) >= 16:
+            _PP_ROOT_CACHE.clear()
+        root = np.asarray(TreeProver(layout.pp.columns(), log_blowup).root)
+        _PP_ROOT_CACHE[key] = root
+    return root
+
+
 def verify(proof: LuminairProof, settings) -> bool:
     """Raises on failure; returns True on acceptance."""
     from . import tracing
@@ -39,13 +60,14 @@ def verify(proof: LuminairProof, settings) -> bool:
     pcs = CommitmentSchemeVerifier(config, channel)
 
     # Tree 0: the verifier rebuilds the preprocessed columns itself and
-    # recommits (LDE + Merkle) -- the root must match the prover's.
-    from .pcs.scheme import TreeProver
-
+    # recommits (LDE + Merkle) -- the root must match the prover's.  The
+    # recommit depends only on (settings, pp layout, blowup), so the root is
+    # cached across verifies of the same circuit (CI and benches verify many
+    # proofs against one settings object; the LUT recommit is prover-scale
+    # at large LUTs).
     with timer.span("preprocessed_recommit"):
-        pp_cols = layout.pp.columns()
-        pp_tree = TreeProver(pp_cols, config.log_blowup)
-        if not np.array_equal(pp_tree.root, np.asarray(proof.roots[0])):
+        expect_root = _preprocessed_root(layout, settings, config.log_blowup)
+        if not np.array_equal(expect_root, np.asarray(proof.roots[0])):
             raise StwoVerifierError("preprocessed tree root mismatch")
     pcs.commit(proof.roots[0], layout.pp_logs())
     pcs.commit(proof.roots[1], layout.main_logs)

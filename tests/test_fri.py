@@ -39,9 +39,12 @@ def run_roundtrip(inputs, config, tamper=None):
     vch.mix_bytes(b"fri test")
 
     def query_eval(circle_log, pos):
+        pos = np.asarray(pos, dtype=np.int64)
         v = inputs[circle_log][pos].copy()
-        if tamper and (circle_log, pos) in tamper:
-            v[0] ^= 3
+        if tamper:
+            for (cl, p) in tamper:
+                if cl == circle_log:
+                    v[pos == p, 0] ^= 3
         return v
 
     ok = fri.fri_verify(proof, config, vch, query_eval, sorted(inputs, reverse=True), positions)
