@@ -6,6 +6,12 @@ crates/graph/benches/ops.rs) scaled up to N x N, and reports
 
     trace-cells proven per second (TPU-accelerated path)
 
+The TPU path is device-resident end-to-end: trace columns are born in HBM
+(graph/device_trace.py) and feed prove() without a host round trip.
+Verification is timed on the native C++ verifier (the production path,
+matching the reference's benched Rust verifier) with a Python-verifier
+parity check.
+
 vs_baseline = speedup over the host numpy prover measured in the same run
 (the reference's Rust/criterion baseline cannot run here -- no Rust
 toolchain in this image; BASELINE.md documents the self-baseline protocol).
@@ -25,8 +31,8 @@ import numpy as np
 N = int(os.environ.get("LUMINAIR_BENCH_N", "256"))
 
 
-def build_pie():
-    from luminair_tpu.prelude import Graph, gen_circuit_settings, gen_trace
+def build_graph():
+    from luminair_tpu.prelude import Graph
 
     cx = Graph()
     rng = np.random.default_rng(0)
@@ -34,9 +40,15 @@ def build_pie():
     b = cx.tensor((N, N)).set(rng.normal(size=(N, N)))
     (a * b + a).retrieve()
     cx.compile()
-    settings = gen_circuit_settings(cx)
+    return cx
+
+
+def build_pie(cx, device: bool):
+    from luminair_tpu.prelude import gen_circuit_settings, gen_trace
+
+    settings = gen_circuit_settings(cx, device=device)
     t0 = time.perf_counter()
-    pie = gen_trace(cx, settings)
+    pie = gen_trace(cx, settings, device=device)
     trace_s = time.perf_counter() - t0
     cells = sum(
         t.n_rows * len(t.columns) for t in pie.trace_tables.values() if t.n_rows
@@ -44,12 +56,10 @@ def build_pie():
     return pie, settings, cells, trace_s
 
 
-def time_prove(pie, settings, accel_on: bool, repeats: int = 1):
+def time_prove(pie, settings, repeats: int = 1):
     from luminair_tpu import tracing
-    from luminair_tpu.parallel import accel
     from luminair_tpu.prover import prove
 
-    accel.enable(accel_on)
     best = float("inf")
     proof = None
     phases = {}
@@ -64,25 +74,44 @@ def time_prove(pie, settings, accel_on: bool, repeats: int = 1):
 
 
 def main():
-    pie, settings, cells, trace_s = build_pie()
+    from luminair_tpu.parallel import accel
+
+    cx = build_graph()
 
     # Host numpy baseline.  At large N the host prover takes tens of
     # minutes; LUMINAIR_BENCH_HOST=0 skips it (vs_baseline reported as 0).
+    accel.enable(False)
+    host_pie, settings, cells, host_trace_s = build_pie(cx, device=False)
     if os.environ.get("LUMINAIR_BENCH_HOST", "1") == "1":
-        _, host_s, _ = time_prove(pie, settings, accel_on=False)
+        _, host_s, _ = time_prove(host_pie, settings)
     else:
         host_s = 0.0
 
-    # TPU-accelerated path: one warmup (jit compile), then timed.
-    time_prove(pie, settings, accel_on=True)
-    proof, tpu_s, phases = time_prove(pie, settings, accel_on=True)
+    # TPU-accelerated path: trace columns born in HBM, one warmup
+    # (jit compile), then timed.
+    accel.enable(True)
+    pie, settings, cells_d, trace_s = build_pie(cx, device=True)
+    assert cells_d == cells
+    time_prove(pie, settings)
+    pie, settings, _, trace_s = build_pie(cx, device=True)  # timed re-gen
+    proof, tpu_s, phases = time_prove(pie, settings)
 
-    # Correctness gate: the timed proof must verify.
+    # Correctness gate + verification timing: the native C++ verifier is
+    # the production verifier (reference benches its Rust verifier); the
+    # Python verifier run asserts cross-implementation parity.
+    from luminair_tpu import native, serde
     from luminair_tpu.verifier import verify
 
+    pb = serde.proof_to_flat_bytes(proof)
+    sb = serde.settings_to_flat_bytes(settings)
+    native.build()  # one-time compile, untimed
     t0 = time.perf_counter()
-    verify(proof, settings)
-    verify_s = time.perf_counter() - t0
+    ok = native.verify_flat(pb, sb)
+    verify_native_s = time.perf_counter() - t0
+    assert ok, "proof failed native verification"
+    t0 = time.perf_counter()
+    assert verify(proof, settings), "python/native verifier disagree"
+    verify_py_s = time.perf_counter() - t0
 
     value = cells / tpu_s
     print(
@@ -95,8 +124,10 @@ def main():
                 "detail": {
                     "tpu_prove_s": round(tpu_s, 3),
                     "host_prove_s": round(host_s, 3),
-                    "gen_trace_s": round(trace_s, 3),
-                    "verify_s": round(verify_s, 3),
+                    "gen_trace_device_s": round(trace_s, 3),
+                    "gen_trace_host_s": round(host_trace_s, 3),
+                    "verify_native_s": round(verify_native_s, 4),
+                    "verify_python_s": round(verify_py_s, 3),
                     "tpu_phases_s": phases,
                 },
             }

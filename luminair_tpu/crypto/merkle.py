@@ -76,6 +76,26 @@ class MerkleTree:
         self.layers = {}  # log -> (2^log, 8) digest array
         self._build()
 
+    @classmethod
+    def from_layers(cls, layers, columns):
+        """Wrap an already-built tree (layers hashed inside a fused jit
+        program, e.g. the device FRI commit chain) without rebuilding.
+
+        layers: {log: (2^log, 8) digest arrays}; columns: the committed
+        value columns (device or host), used only for opening gathers."""
+        self = cls.__new__(cls)
+        self._force_device = True
+        self._root = None
+        self.columns = list(columns)
+        self.cols_by_log = defaultdict(list)
+        for c in self.columns:
+            log = int(c.shape[0]).bit_length() - 1
+            assert 1 << log == c.shape[0]
+            self.cols_by_log[log].append(c)
+        self.max_log = max(self.cols_by_log)
+        self.layers = dict(layers)
+        return self
+
     def _build(self):
         from ..parallel import accel
 

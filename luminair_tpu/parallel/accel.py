@@ -222,47 +222,59 @@ def lde_columns(cols, log_blowup: int):
 
 
 @lru_cache(maxsize=None)
-def _jit_hash_layer(n_nodes: int, n_words: int, mk=None):
-    """One Merkle layer hash, cached by shape.  Layer shapes repeat heavily
-    across trees (every parent layer is (n, 16)), so compiles amortize over
-    the whole proof -- one whole-tree jit would recompile per tree column
-    signature instead.  Under a mesh, nodes (rows) shard across chips --
-    leaves are independent Blake2s messages."""
+def _jit_merkle_tree(sig: tuple, mk=None):
+    """The WHOLE mixed-size-column Merkle tree as one XLA program, cached
+    by column signature ((log, n_cols) pairs, descending).  Signatures
+    repeat per proof shape, so compiles amortize (persistently cached);
+    fusing kills the ~max_log per-tree dispatch overhead of layer-at-a-time
+    hashing.  Under a mesh, nodes (rows) shard across chips until the top
+    layers are smaller than the mesh."""
     import jax
+    import jax.numpy as jnp
 
     from ..crypto import blake2s
 
-    def run(words):
-        return blake2s.hash_words(_shard_dim(words, mk, 0))
+    n_dev = mk.mesh.devices.size if mk is not None else 1
+    max_log = sig[0][0]
+    ncols = dict(sig)
 
-    return jax.jit(run)
+    @jax.jit
+    def run(flat_cols):
+        cols_by_log = {}
+        i = 0
+        for log, k in sig:
+            cols_by_log[log] = flat_cols[i : i + k]
+            i += k
+        layers = {}
+        prev = None
+        for log in range(max_log, -1, -1):
+            n = 1 << log
+            parts = []
+            if prev is not None:
+                parts.append(prev.reshape(n, 16))
+            if log in cols_by_log:
+                parts.append(jnp.stack(cols_by_log[log], axis=1))
+            words = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+            layer_mk = mk if mk is not None and n >= 2 * n_dev else None
+            prev = blake2s.hash_words(_shard_dim(words, layer_mk, 0))
+            layers[log] = prev
+        return layers
+
+    return run
 
 
 def merkle_layers(cols_by_log: Dict[int, list]) -> Dict[int, "np.ndarray"]:
-    """Build all tree layers on device.  cols_by_log: {log: [(N,) columns]}
-    (columns may be host or device).  Returns {log: (2^log, 8) digests}
-    as DEVICE arrays.  Per-layer jitted hashing; arrays never leave the
-    device between layers."""
+    """Build all tree layers on device in ONE jit call.  cols_by_log:
+    {log: [(N,) columns]} (columns may be host or device).  Returns
+    {log: (2^log, 8) digests} as DEVICE arrays that never leave the
+    device (only the root and queried openings are downloaded)."""
     import jax.numpy as jnp
 
-    mk = mesh_key()
-    max_log = max(cols_by_log)
-    layers = {}
-    prev = None
-    for log in range(max_log, -1, -1):
-        n = 1 << log
-        parts = []
-        if prev is not None:
-            parts.append(prev.reshape(n, 16))
-        if log in cols_by_log:
-            parts.append(jnp.stack([jnp.asarray(c) for c in cols_by_log[log]], axis=1))
-        words = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
-        # Tiny top layers: stop forcing shards once a chip would hold < 2
-        # nodes (XLA gathers the subtree tip wherever convenient).
-        layer_mk = mk if mk is not None and n >= 2 * mk.mesh.devices.size else None
-        prev = _jit_hash_layer(n, int(words.shape[1]), layer_mk)(words)
-        layers[log] = prev
-    return layers
+    sig = tuple(
+        (log, len(cols_by_log[log])) for log in sorted(cols_by_log, reverse=True)
+    )
+    flat = [jnp.asarray(c) for log, _ in sig for c in cols_by_log[log]]
+    return _jit_merkle_tree(sig, mesh_key())(flat)
 
 
 @lru_cache(maxsize=None)
@@ -318,9 +330,15 @@ def _jit_gather_many(sig: tuple):
     import jax
     import jax.numpy as jnp
 
-    def run(arrays, idxs):
+    def run(arrays, idx_flat):
+        # idx_flat: ONE concatenated index vector (uploading one array per
+        # spec costs a ~1 ms transfer-latency hit EACH; a decommit phase has
+        # ~100+ specs).
         parts = []
-        for (shape, pad, axis), a, ix in zip(sig, arrays, idxs):
+        off = 0
+        for (shape, pad, axis), a in zip(sig, arrays):
+            ix = jax.lax.dynamic_slice_in_dim(idx_flat, off, pad)
+            off += pad
             g = jnp.take(a, ix, axis=axis)
             parts.append(g.reshape(-1))
         return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
@@ -332,23 +350,26 @@ def gather_many(specs) -> list:
     """Batched device gathers: specs = [(array, positions, axis)].
 
     Returns [np.ndarray] matching np.take(arr, positions, axis) per spec.
-    One jit dispatch + one host download for the whole batch; index vectors
-    are padded to powers of two for executable-shape stability."""
+    One jit dispatch + one index upload + one host download for the whole
+    batch; index vectors are padded to powers of two for executable-shape
+    stability."""
     if not specs:
         return []
     import jax.numpy as jnp
 
     sig = []
-    idxs = []
+    idx_parts = []
     for arr, pos, axis in specs:
         k = len(pos)
         pad = _pad_len(k)
         idx = np.zeros(pad, dtype=np.int64)
         idx[:k] = pos
         sig.append((tuple(arr.shape), pad, axis))
-        idxs.append(jnp.asarray(idx))
+        idx_parts.append(idx)
     flat = np.asarray(
-        _jit_gather_many(tuple(sig))([a for a, _, _ in specs], idxs)
+        _jit_gather_many(tuple(sig))(
+            [a for a, _, _ in specs], jnp.asarray(np.concatenate(idx_parts))
+        )
     )
     out = []
     off = 0
@@ -646,6 +667,167 @@ def fold_line(values, line_log: int, kmax: int, alpha, mix_vals=None):
     if mix_vals is None:
         return run(jnp.asarray(values), jnp.asarray(alpha))
     return run(jnp.asarray(values), jnp.asarray(alpha), jnp.asarray(mix_vals))
+
+
+# ---------------------------------------------------------------------------
+# Fused FRI commit chain: Merkle trees + Fiat-Shamir channel + folds, one jit
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _jit_fri_chain(logs: tuple, B: int, bound: int, F: int, mk=None):
+    """The WHOLE FRI commit phase as one XLA program.
+
+    Per committed layer the eager path pays ~(layer_log+1) Merkle hash
+    dispatches plus a root-download sync (the Fiat-Shamir channel needs the
+    root before it can draw the fold challenge).  Here the channel itself
+    runs on device -- mix_root is one Blake2s over (digest || root), felt
+    draws are rejection-sampled blocks under lax.while_loop, bit-identical
+    to crypto/channel.py -- so the entire chain (fold-circle, per-layer
+    tree build, root mix, alpha draw, 2^F-arity folds with smaller-input
+    mixing) is a single dispatch.  Only the stacked roots/alphas and the
+    tiny last layer are downloaded, in one sync; tree layers and layer
+    evals stay HBM-resident for the later fused decommit gather.
+
+    Replaces the per-layer round trips around stwo's FRI prover (used by
+    the reference via crates/prover/src/prover.rs:312)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .. import circle
+    from ..crypto import blake2s
+    from ..fields import qm31
+    from ..pcs import fri as fri_mod
+
+    kmax = max(logs)
+    last_line_log = B + bound
+    tw_inv_all = circle.ifft_twiddles(kmax)
+    n_dev = mk.mesh.devices.size if mk is not None else 1
+
+    P = jnp.uint32(0x7FFFFFFF)
+    REJECT = jnp.uint32(0xFFFFFFFE)  # accept words < 2*P
+
+    def draw_block(digest, counter):
+        # blake2s(digest || LE64(counter)): 40-byte one-block message.
+        msg = jnp.concatenate(
+            [digest, counter.astype(jnp.uint32)[None], jnp.zeros(1, jnp.uint32)]
+        )
+        return blake2s.hash_words(msg)
+
+    def draw_felt(digest, counter):
+        """Rejection-sampled QM31 draw, bit-identical to
+        Blake2sChannel.draw_felt (words < 2P accepted, reduced mod P;
+        partial-block leftovers discarded between draws)."""
+
+        def cond(st):
+            return st[0] < 4
+
+        def body(st):
+            cnt, ctr, out = st
+            block = draw_block(digest, ctr)
+            for i in range(8):
+                w = block[i]
+                accept = (w < REJECT) & (cnt < 4)
+                idx = jnp.minimum(cnt, 3)
+                wp = jnp.where(w >= P, w - P, w)
+                out = out.at[idx].set(jnp.where(accept, wp, out[idx]))
+                cnt = cnt + accept.astype(jnp.int32)
+            return (cnt, ctr + 1, out)
+
+        cnt, ctr, out = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), counter, jnp.zeros(4, jnp.uint32))
+        )
+        return out, ctr
+
+    def mix_root(digest, root):
+        return blake2s.hash_words(jnp.concatenate([digest, root]))
+
+    def tree_layers(cur, log):
+        """All Merkle layers of a 4-column single-log tree, in-program."""
+        layers = {}
+        words = cur  # (n, 4): the 4 qm31 coordinate columns ARE the words
+        for l in range(log, -1, -1):
+            lm = mk if mk is not None and (1 << l) >= 2 * n_dev else None
+            prev = blake2s.hash_words(_shard_dim(words, lm, 0))
+            layers[l] = prev
+            if l:
+                words = prev.reshape(1 << (l - 1), 16)
+        return layers
+
+    @jax.jit
+    def run(digest, counter, inputs_list):
+        inputs = dict(zip(sorted(logs, reverse=True), inputs_list))
+        alpha0, counter = draw_felt(digest, counter)
+        line_evals = {}
+        for k in sorted(logs, reverse=True):
+            v = _shard_dim(inputs[k], mk, 0)
+            line_evals[k - 1] = _shard_dim(
+                fri_mod.fold_circle_to_line(v, k, alpha0), mk, 0
+            )
+        cur = line_evals[kmax - 1]
+        cur_log = kmax - 1
+        roots, alphas, trees = [], [], []
+        while cur_log > last_line_log:
+            layers = tree_layers(cur, cur_log)
+            root = layers[0][0]
+            digest = mix_root(digest, root)
+            alpha, counter = draw_felt(digest, jnp.int32(0))
+            roots.append(root)
+            alphas.append(alpha)
+            trees.append((cur, layers))
+            beta = alpha
+            for _t in range(min(F, cur_log - last_line_log)):
+                mix = cur_log - 1 in line_evals and cur_log - 1 != kmax - 1
+                t_inv = jnp.asarray(tw_inv_all[kmax - cur_log])
+                cur = fri_mod.fold_line(cur, t_inv, beta)
+                cur_log -= 1
+                if mix:
+                    beta2 = qm31.mul(beta, beta)
+                    cur = qm31.add(
+                        cur,
+                        qm31.mul(jnp.broadcast_to(beta2, cur.shape), line_evals[cur_log]),
+                    )
+                cur = _shard_dim(cur, mk, 0)
+                beta = qm31.mul(beta, beta)
+        return (
+            digest,
+            counter,
+            jnp.stack(roots) if roots else jnp.zeros((0, 8), jnp.uint32),
+            jnp.stack(alphas) if alphas else jnp.zeros((0, 4), jnp.uint32),
+            alpha0,
+            cur,
+            trees,
+        )
+
+    return run
+
+
+def fri_commit_chain(inputs: Dict[int, "np.ndarray"], B: int, bound: int, F: int,
+                     digest32: bytes, counter: int):
+    """Run the fused FRI commit program.  inputs: {circle_log: (2^log, 4)}
+    device arrays.  Returns (host: digest bytes, counter, roots, alphas,
+    alpha0, last_evals; device: trees=[(evals, layers_dict)])."""
+    import jax
+    import jax.numpy as jnp
+
+    logs = tuple(sorted(inputs, reverse=True))
+    run = _jit_fri_chain(logs, B, bound, F, mesh_key())
+    digest_w = jnp.asarray(np.frombuffer(digest32, dtype="<u4"))
+    outs = run(digest_w, jnp.int32(counter), [jnp.asarray(inputs[k]) for k in logs])
+    digest_d, counter_d, roots_d, alphas_d, alpha0_d, cur_d, trees = outs
+    # ONE download for everything the transcript needs.
+    digest_h, counter_h, roots_h, alphas_h, alpha0_h, cur_h = jax.device_get(
+        (digest_d, counter_d, roots_d, alphas_d, alpha0_d, cur_d)
+    )
+    return (
+        np.asarray(digest_h, dtype="<u4").tobytes(),
+        int(counter_h),
+        np.asarray(roots_h),
+        np.asarray(alphas_h),
+        np.asarray(alpha0_h),
+        np.asarray(cur_h),
+        trees,
+    )
 
 
 # ---------------------------------------------------------------------------

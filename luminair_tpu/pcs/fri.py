@@ -116,6 +116,8 @@ def fri_prove(inputs: Dict[int, np.ndarray], config: FriConfig, channel) -> "tup
     from ..parallel import accel
 
     device = any(not isinstance(v, np.ndarray) for v in inputs.values())
+    if device and accel.enabled():
+        return _fri_prove_device(inputs, config, channel)
 
     alpha0 = channel.draw_felt()
     if device:
@@ -175,6 +177,80 @@ def fri_prove(inputs: Dict[int, np.ndarray], config: FriConfig, channel) -> "tup
 
     proof = FriProof(
         layer_roots=[t.root for (_, _, t) in layers],
+        layer_queried_values=[],
+        layer_witnesses=[],
+        last_layer_coeffs=last_coeffs,
+    )
+    ctx = {
+        "layers": layers,
+        "alpha0": alpha0,
+        "alphas": alphas,
+        "kmax": kmax,
+        "folds_per_layer": F,
+        "last_line_log": last_line_log,
+    }
+    return proof, ctx
+
+
+def _fri_prove_device(inputs: Dict[int, np.ndarray], config: FriConfig, channel):
+    """Device FRI commit: the WHOLE chain (per-layer Merkle builds, root
+    mixing, challenge draws, folds) runs as ONE fused XLA program with a
+    device-resident Blake2s channel (accel.fri_commit_chain), then the host
+    channel replays the downloaded roots to stay authoritative.  Replaces
+    one root-download sync + ~log(n) hash dispatches PER LAYER with one
+    dispatch + one download for the whole phase."""
+    from ..parallel import accel
+
+    logs = sorted(inputs, reverse=True)
+    kmax = logs[0]
+    B = config.log_blowup_factor
+    bound = config.log_last_layer_degree_bound
+    last_line_log = B + bound
+    assert min(logs) - 1 >= last_line_log
+    F = max(1, int(getattr(config, "folds_per_layer", 1)))
+
+    digest_h, counter_h, roots, alphas_dev, alpha0_dev, cur, trees = (
+        accel.fri_commit_chain(
+            {k: inputs[k] for k in logs}, B, bound, F, channel.digest, channel._counter
+        )
+    )
+
+    # Host channel replay: mix the downloaded roots, re-draw the challenges.
+    # The host channel stays the single source of truth; the device channel
+    # must agree bit-for-bit or the proof would not verify -- assert early.
+    alpha0 = channel.draw_felt()
+    assert np.array_equal(alpha0, alpha0_dev), "device channel diverged (alpha0)"
+    alphas = []
+    for i in range(len(roots)):
+        channel.mix_root(roots[i])
+        a = channel.draw_felt()
+        assert np.array_equal(a, alphas_dev[i]), "device channel diverged (alpha)"
+        alphas.append(a)
+    assert channel.digest == digest_h and channel._counter == counter_h, (
+        "device channel diverged (state)"
+    )
+
+    # Last layer: interpolate on host, check the strided degree bound, mix.
+    tw_inv_all = circle.ifft_twiddles(kmax)
+    cur_log = last_line_log
+    coeffs = fft.line_ifft_qm31(cur, tw_inv_all[kmax - cur_log :])
+    stride = 1 << B
+    mask = np.ones(len(coeffs), dtype=bool)
+    mask[::stride] = False
+    assert np.all(coeffs[mask] == 0), "last layer exceeds degree bound"
+    last_coeffs = np.ascontiguousarray(coeffs[::stride])
+    channel.mix_felts(last_coeffs)
+
+    # Wrap the device-resident tree layers for the fused decommit gather.
+    layers = []
+    log_i = kmax - 1
+    for evals_d, layer_dict in trees:
+        tree = MerkleTree.from_layers(layer_dict, [evals_d[:, j] for j in range(4)])
+        layers.append((log_i, evals_d, tree))
+        log_i -= min(F, log_i - last_line_log)
+
+    proof = FriProof(
+        layer_roots=[np.asarray(r) for r in roots],
         layer_queried_values=[],
         layer_witnesses=[],
         last_layer_coeffs=last_coeffs,
