@@ -33,6 +33,9 @@ class Component:
     N_INTERACTION: int = 0
     #: preprocessed ids used (besides the framework-provided is_first)
     PP_IDS: List[str] = []
+    #: main columns read at the NEXT row via ev.main_next (the verifier
+    #: samples these at z + G_n as well as z)
+    MAIN_NEXT: List[str] = []
 
     def evaluate(self, ev: fw.AirEval, elems: Dict[str, fw.LookupElements]):
         raise NotImplementedError
@@ -201,6 +204,7 @@ class SumReduceComponent(Component):
     name = "sum_reduce"
     MAIN = "node_id input_id idx is_last_idx next_node_id next_input_id next_idx input out acc next_acc is_last_step input_mult out_mult".split()
     N_INTERACTION = 2
+    MAIN_NEXT = ["acc"]
 
     def evaluate(self, ev, elems):
         c = {n: ev.main(n) for n in self.MAIN}
@@ -208,6 +212,16 @@ class SumReduceComponent(Component):
         ev.constraint(c["is_last_step"] * (c["is_last_step"] - 1))
         ev.constraint(c["next_acc"] - c["acc"] - c["input"])
         ev.constraint((c["out"] - c["next_acc"]) * c["is_last_step"])
+        # Row linking (beats the reference, whose acc chain is unbound
+        # across rows -- sum_reduce/component.rs:69-70 constrains only the
+        # free next_acc witness column): inside a segment the next row's
+        # acc continues this row's next_acc; after a segment end (and on
+        # padding rows, which pad is_last_step = 1) the next acc restarts
+        # at 0.  Cyclic wrap is safe: the final row always has
+        # is_last_step = 1 and row 0 starts a segment with acc = 0.
+        acc_next = ev.main_next("acc")
+        ev.constraint((ev.one() - c["is_last_step"]) * (acc_next - c["next_acc"]))
+        ev.constraint(c["is_last_step"] * acc_next)
         _transitions(ev, c, [("next_node_id", "node_id"), ("next_input_id", "input_id")])
         node = elems["node"]
         ev.relation(node, c["input_mult"], [c["input"], c["input_id"]])
@@ -217,8 +231,9 @@ class SumReduceComponent(Component):
 
 class MaxReduceComponent(Component):
     name = "max_reduce"
-    MAIN = "node_id input_id idx is_last_idx next_node_id next_input_id next_idx input out max_val next_max_val is_max is_last_step input_mult out_mult".split()
-    N_INTERACTION = 2
+    MAIN = "node_id input_id idx is_last_idx next_node_id next_input_id next_idx input out max_val next_max_val is_max is_last_step ge_limb0 ge_limb1 ge_limb2 ge_limb3 input_mult out_mult range_check_mult".split()
+    N_INTERACTION = 6
+    MAIN_NEXT = ["max_val", "input"]
 
     def evaluate(self, ev, elems):
         c = {n: ev.main(n) for n in self.MAIN}
@@ -226,15 +241,43 @@ class MaxReduceComponent(Component):
         ev.constraint(c["is_max"] * (c["is_max"] - 1))
         ev.constraint(c["is_last_step"] * (c["is_last_step"] - 1))
         # is_max = 1 -> next_max = input;  is_max = 0 -> next_max = max_val.
-        # (The >= relation itself is unconstrained, same soundness gap as
-        # the reference -- max_reduce/component.rs:66-81.)
         ev.constraint(c["is_max"] * (c["next_max_val"] - c["input"]))
         ev.constraint((ev.one() - c["is_max"]) * (c["next_max_val"] - c["max_val"]))
+        # SOUNDNESS (beats the reference, max_reduce/component.rs:66-81,
+        # where the >= relation is unconstrained and any visited value can
+        # be claimed as the max): range-prove next_max >= both operands.
+        # With the equalities above, next_max equals one operand; proving
+        # next_max - loser >= 0 (loser = the one next_max does NOT equal)
+        # pins next_max = max(input, max_val) exactly.  The difference is
+        # decomposed into 8/8/8/6-bit limbs through the 8-bit range-check
+        # relation (limb3 is checked as 4*limb3 < 2^8, so d < 2^30 --
+        # sound for |fixed values| < 2^29, see docs/PROTOCOL.md).
+        loser = c["is_max"] * c["max_val"] + (ev.one() - c["is_max"]) * c["input"]
+        recomposed = (
+            c["ge_limb0"]
+            + c["ge_limb1"] * (1 << 8)
+            + c["ge_limb2"] * (1 << 16)
+            + c["ge_limb3"] * (1 << 24)
+        )
+        ev.constraint(recomposed - c["next_max_val"] + loser)
         ev.constraint((c["out"] - c["next_max_val"]) * c["is_last_step"])
+        # Row linking (the reference's max_val chain is unbound across
+        # rows): inside a segment the next row's max_val continues this
+        # row's next_max_val; a new segment (after is_last_step = 1,
+        # padding rows included -- they pad is_last_step = 1) anchors its
+        # running max at its own first input.
+        max_next = ev.main_next("max_val")
+        ev.constraint((ev.one() - c["is_last_step"]) * (max_next - c["next_max_val"]))
+        ev.constraint(c["is_last_step"] * (max_next - ev.main_next("input")))
         _transitions(ev, c, [("next_node_id", "node_id"), ("next_input_id", "input_id")])
         node = elems["node"]
+        rc = elems["range_check"]
         ev.relation(node, c["input_mult"], [c["input"], c["input_id"]])
         ev.relation(node, c["out_mult"], [c["out"], c["node_id"]])
+        ev.relation(rc, c["range_check_mult"], [c["ge_limb0"]])
+        ev.relation(rc, c["range_check_mult"], [c["ge_limb1"]])
+        ev.relation(rc, c["range_check_mult"], [c["ge_limb2"]])
+        ev.relation(rc, c["range_check_mult"], [c["ge_limb3"] * 4])
         ev.finalize_logup()
 
 

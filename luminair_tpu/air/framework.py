@@ -134,6 +134,15 @@ class AirEval:
     def main(self, name: str) -> Felt:
         raise NotImplementedError
 
+    def main_next(self, name: str) -> Felt:
+        """The column's value at the NEXT row (cyclic).  Columns read this
+        way must be declared in the component's MAIN_NEXT list (the
+        verifier samples them at z + G_n).  This is the row-linking mask
+        the reference lacks: its next_* columns are free witness columns,
+        so its running reductions never bind across rows (sum_reduce/
+        component.rs:69-70, max_reduce/component.rs:66-81)."""
+        raise NotImplementedError
+
     def preprocessed(self, pp_id: str) -> Felt:
         raise NotImplementedError
 
@@ -164,6 +173,10 @@ class WitnessEval(AirEval):
 
     def main(self, name: str) -> Felt:
         return Felt.from_m31(self._main[name])
+
+    def main_next(self, name: str) -> Felt:
+        arr = self._main[name]
+        return Felt.from_m31(m31._xp(arr).roll(arr, -1, axis=0))
 
     def preprocessed(self, pp_id: str) -> Felt:
         return Felt.from_m31(self._pp[pp_id])
@@ -248,6 +261,12 @@ class DomainEval(AirEval):
     def main(self, name: str) -> Felt:
         return Felt.from_m31(self._main[name])
 
+    def main_next(self, name: str) -> Felt:
+        # Next row = translation by +G_n = cyclic roll by -stride on the
+        # eval domain (inverse of the prev-row roll used by finalize_logup).
+        arr = self._main[name]
+        return Felt.from_m31(m31._xp(arr).roll(arr, -self._roll, axis=0))
+
     def preprocessed(self, pp_id: str) -> Felt:
         return Felt.from_m31(self._pp[pp_id])
 
@@ -285,6 +304,7 @@ class PointEval(AirEval):
         is_first_value: np.ndarray,
         claimed_sum,
         accumulator: ConstraintAccumulator,
+        main_next_values: Dict[str, np.ndarray] = None,  # values at z + G_n
     ):
         super().__init__()
         self._main = main_values
@@ -294,9 +314,13 @@ class PointEval(AirEval):
         self._is_first = is_first_value
         self._claimed = claimed_sum
         self._acc = accumulator
+        self._main_next = main_next_values or {}
 
     def main(self, name: str) -> Felt:
         return Felt(np.asarray(self._main[name], dtype=np.uint32))
+
+    def main_next(self, name: str) -> Felt:
+        return Felt(np.asarray(self._main_next[name], dtype=np.uint32))
 
     def preprocessed(self, pp_id: str) -> Felt:
         return Felt(np.asarray(self._pp[pp_id], dtype=np.uint32))

@@ -94,9 +94,21 @@ class AirLayout:
     def sample_points(self, z):
         """Per-tree per-column OODS points.  Every column opens at z; each
         component's last interaction column (4 coords) also opens at
-        z - G_n (the LogUp prev-row mask)."""
+        z - G_n (the LogUp prev-row mask); main columns in a component's
+        MAIN_NEXT also open at z + G_n (the next-row mask that binds
+        running-reduction chains across rows)."""
         pts_pp = [[z] for _ in self._pp_ids]
         pts_main = [[z] for _ in self.main_logs]
+        for c in self.components:
+            if not c.MAIN_NEXT:
+                continue
+            log = self.claim.log_sizes[c.name]
+            z_next = circle.point_add_qm31(
+                z, circle.point_to_qm31(circle.group_gen(log))
+            )
+            s0, _ = self.main_slices[c.name]
+            for name in c.MAIN_NEXT:
+                pts_main[s0 + c.MAIN.index(name)].append(z_next)
         pts_inter = []
         for c in self.components:
             log = self.claim.log_sizes[c.name]

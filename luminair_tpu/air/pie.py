@@ -27,6 +27,11 @@ _PADDING_ONES = {"is_last_idx"}
 #: out = (1 - borrow) * 2^12.
 _PADDING_OVERRIDES = {
     "less_than": {"rhs": 1, "out": 1 << 12, "diff": 1, "limb0": 1},
+    # Reductions pad is_last_step = 1 so the cross-row continuity masks
+    # (acc / max_val chains) are released on padding rows and the cyclic
+    # wrap re-anchors row 0 as a segment start.
+    "sum_reduce": {"is_last_step": 1},
+    "max_reduce": {"is_last_step": 1},
 }
 
 

@@ -323,6 +323,13 @@ class _Tracer:
                     outv = run[:, -1]
                     is_max = (flat > acc).astype(jnp.uint32).reshape(-1)
                     extra_names = ("max_val", "next_max_val")
+                    # >= witness limbs (see MaxReduceComponent / trace.py).
+                    loser = jnp.where(flat > acc, acc, flat)
+                    ge_d = (nxt - loser).reshape(-1)
+                    lut_bad["max_reduce_range"] = lut_bad.get(
+                        "max_reduce_range", jnp.zeros((), dtype=bool)
+                    ) | jnp.any((ge_d < 0) | (ge_d >= 1 << 30))
+                    ge_u32 = ge_d.astype(jnp.uint32)
                 buffers[nid] = outv
                 om = self._out_mult(nid)
                 out_col = jnp.where(
@@ -345,6 +352,19 @@ class _Tracer:
                 cols[extra_names[1]] = fixed.to_m31(nxt.reshape(-1))
                 if op == "max_reduce":
                     cols["is_max"] = is_max
+                    cols["ge_limb0"] = ge_u32 & 0xFF
+                    cols["ge_limb1"] = (ge_u32 >> 8) & 0xFF
+                    cols["ge_limb2"] = (ge_u32 >> 16) & 0xFF
+                    cols["ge_limb3"] = (ge_u32 >> 24) & 0x3F
+                    cols["range_check_mult"] = np.uint32(1)
+                    if rc_mults is not None:
+                        for limb in (
+                            cols["ge_limb0"],
+                            cols["ge_limb1"],
+                            cols["ge_limb2"],
+                            cols["ge_limb3"] * 4,
+                        ):
+                            rc_mults = rc_mults.at[limb.astype(jnp.int32)].add(1)
                 cols["is_last_step"] = is_last_step
                 cols["input_mult"] = NEG1
                 cols["out_mult"] = (is_last_step * om).astype(jnp.uint32)
@@ -400,6 +420,11 @@ def gen_trace_device(graph: Graph, settings: CircuitSettings) -> LuminairPie:
         flags = np.asarray(jnp.stack(list(bads.values())))
         for kind, bad in zip(bads.keys(), flags):
             if bad:
+                if kind == "max_reduce_range":
+                    raise LuminairError(
+                        "max_reduce step difference outside [0, 2^30) -- "
+                        "fixed-point values exceed the provable range"
+                    )
                 raise LuminairError(f"{kind} input outside LUT range")
 
     trace_tables = {}
@@ -581,6 +606,6 @@ def gen_circuit_settings_device(graph: Graph) -> CircuitSettings:
     for kind in _LUT_OPS:
         if ranges[kind]:
             setattr(lk, kind, LookupLayout(coalesce_ranges(ranges[kind])))
-    if any(n.op == "less_than" for n in graph.nodes):
+    if any(n.op in ("less_than", "max_reduce") for n in graph.nodes):
         lk.range_check_bits = 8
     return CircuitSettings(lookups=lk)

@@ -155,7 +155,9 @@ def _run(graph: Graph, record_trace: bool, settings: Optional[CircuitSettings],
             ranges[op].append(
                 Range(int(fixed.from_float(lo - delta)), int(fixed.from_float(hi + delta)))
             )
-        if collect_ranges and op == "less_than":
+        if collect_ranges and op in ("less_than", "max_reduce"):
+            # max_reduce range-proves its running-max steps through the
+            # 8-bit range-check relation (soundness fix over the reference).
             range_check_needed = True
 
         # ---- compute + trace emission per primitive --------------------
@@ -301,6 +303,16 @@ def _run(graph: Graph, record_trace: bool, settings: Optional[CircuitSettings],
                 outv = run[:, -1]
                 is_max = (flat > acc).astype(np.uint32).reshape(-1)
                 extra_names = ("max_val", "next_max_val")
+                # >= witness: d = next_max - loser, range-proved < 2^30
+                # via 8/8/8/6-bit limbs (see MaxReduceComponent).
+                loser = np.where(flat > acc, acc, flat)
+                ge_d = (nxt - loser).reshape(-1)
+                if np.any(ge_d < 0) or np.any(ge_d >= 1 << 30):
+                    raise LuminairError(
+                        "max_reduce step difference outside [0, 2^30) -- "
+                        "fixed-point values exceed the provable range"
+                    )
+                ge_u32 = ge_d.astype(np.uint32)
             buffers[nid] = outv.copy()
             if record_trace:
                 om = out_mult(nid)
@@ -322,6 +334,19 @@ def _run(graph: Graph, record_trace: bool, settings: Optional[CircuitSettings],
                 cols[extra_names[1]] = fixed.to_m31(nxt.reshape(-1))
                 if op == "max_reduce":
                     cols["is_max"] = is_max
+                    cols["ge_limb0"] = ge_u32 & 0xFF
+                    cols["ge_limb1"] = (ge_u32 >> 8) & 0xFF
+                    cols["ge_limb2"] = (ge_u32 >> 16) & 0xFF
+                    cols["ge_limb3"] = (ge_u32 >> 24) & 0x3F
+                    cols["range_check_mult"] = np.uint32(1)
+                    if rc_mults is not None:
+                        for limb in (
+                            cols["ge_limb0"],
+                            cols["ge_limb1"],
+                            cols["ge_limb2"],
+                            cols["ge_limb3"] * 4,
+                        ):
+                            rc_mults += np.bincount(limb, minlength=len(rc_mults))
                 cols["is_last_step"] = is_last_step
                 cols["input_mult"] = NEG1
                 cols["out_mult"] = (is_last_step * om).astype(np.uint32)

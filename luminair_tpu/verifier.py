@@ -98,6 +98,9 @@ def verify(proof: LuminairProof, settings) -> bool:
             main_values = {
                 name: sv[1][s0 + i][0] for i, name in enumerate(c.MAIN)
             }
+            main_next_values = {
+                name: sv[1][s0 + c.MAIN.index(name)][1] for name in c.MAIN_NEXT
+            }
             pp_values = {pid: sv[0][layout.pp_index(pid)][0] for pid in list(c.PP_IDS)}
             b0, b1 = layout.inter_slices[c.name]
             inter_values = []
@@ -117,6 +120,7 @@ def verify(proof: LuminairProof, settings) -> bool:
                 is_first_val,
                 np.asarray(proof.interaction_claim.sums[c.name], dtype=np.uint32),
                 comp_acc,
+                main_next_values,
             )
             c.evaluate(pev, elems)
             acc_pow = comp_acc._pow

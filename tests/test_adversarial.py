@@ -209,3 +209,105 @@ class TestContiguousEdgeCases:
         assert n_rows >= 16  # 16 materialized rows (4 in, 16 out)
         proof = prove(pie, settings, CFG)
         assert verify(proof, settings)
+
+
+class TestReduceChainForgery:
+    """Forged running-reduction chains the REFERENCE constraint system
+    accepts (its acc/max_val columns are free witness columns,
+    max_reduce/component.rs:66-81, sum_reduce/component.rs:69-70) must be
+    rejected here: the next-row continuity masks + the 8/8/8/6-bit >=
+    range proof pin out = max/sum of the actual inputs."""
+
+    @staticmethod
+    def _forge_max(pie, settings, claimed_run):
+        """Rewrite the max_reduce table for a single-segment reduce so it
+        claims `claimed_run` as the running max chain, with every per-row
+        witness column an attacker controls made self-consistent (is_max,
+        next_max_val, out, best-effort ge limbs, range-check mults)."""
+        t = pie.trace_tables["max_reduce"]
+        inp = t.columns["input"].astype(np.int64)
+        n = len(inp)
+        run = np.asarray(claimed_run, dtype=np.int64)
+        max_val = np.concatenate([run[:1] * 0 + inp[0], run[:-1]])
+        is_max = (run != max_val).astype(np.uint32)
+        loser = np.where(is_max.astype(bool), max_val, inp)
+        d = (run - loser) % ((1 << 31) - 1)  # attacker embeds mod P
+        limbs = [
+            (d & 0xFF).astype(np.uint32),
+            ((d >> 8) & 0xFF).astype(np.uint32),
+            ((d >> 16) & 0xFF).astype(np.uint32),
+            np.minimum((d >> 24) & 0xFF, 0x3F).astype(np.uint32),
+        ]
+        # Keep the range-check LogUp balanced for the claimed limbs.
+        rc = pie.trace_tables["range_check_lookup"].columns["multiplicity"].copy()
+        for old_name, new in zip(
+            ("ge_limb0", "ge_limb1", "ge_limb2"), limbs[:3]
+        ):
+            rc -= np.bincount(t.columns[old_name], minlength=len(rc)).astype(rc.dtype)
+            rc += np.bincount(new, minlength=len(rc)).astype(rc.dtype)
+        rc -= np.bincount(t.columns["ge_limb3"] * 4, minlength=len(rc)).astype(rc.dtype)
+        rc += np.bincount(limbs[3] * 4, minlength=len(rc)).astype(rc.dtype)
+        pie.trace_tables["range_check_lookup"].columns["multiplicity"] = rc
+        t.columns["max_val"] = (max_val % ((1 << 31) - 1)).astype(np.uint32)
+        t.columns["next_max_val"] = (run % ((1 << 31) - 1)).astype(np.uint32)
+        t.columns["is_max"] = is_max
+        for name, v in zip(("ge_limb0", "ge_limb1", "ge_limb2", "ge_limb3"), limbs):
+            t.columns[name] = v
+        out = t.columns["out"].copy()
+        out[n - 1] = run[-1] % ((1 << 31) - 1)
+        t.columns["out"] = out
+
+    def test_forged_smaller_max_rejected(self):
+        """Skip the true max at its own row (claim is_max = 0 there)."""
+        cx = Graph()
+        cx.tensor((1, 4)).set(np.array([[0.1, 0.9, 0.3, 0.2]])).max_reduce(1).retrieve()
+        cx.compile()
+        settings = gen_circuit_settings(cx)
+        pie = gen_trace(cx, settings)
+        inp = pie.trace_tables["max_reduce"].columns["input"].astype(np.int64)
+        # claimed chain ignores inp[1] (the true max): 0.1, 0.1, 0.3, 0.3
+        claimed = np.array([inp[0], inp[0], inp[2], inp[2]])
+        self._forge_max(pie, settings, claimed)
+        assert_rejected(pie, settings)
+
+    def test_max_chain_reset_rejected(self):
+        """Carry the true max for a while, then silently drop it."""
+        cx = Graph()
+        cx.tensor((1, 4)).set(np.array([[0.1, 0.9, 0.3, 0.2]])).max_reduce(1).retrieve()
+        cx.compile()
+        settings = gen_circuit_settings(cx)
+        pie = gen_trace(cx, settings)
+        inp = pie.trace_tables["max_reduce"].columns["input"].astype(np.int64)
+        # honest until row 1, then the chain "restarts" at inp[2]
+        claimed = np.array([inp[0], inp[1], inp[2], inp[2]])
+        self._forge_max(pie, settings, claimed)
+        assert_rejected(pie, settings)
+
+    def test_forged_sum_acc_reset_rejected(self):
+        """Reset the accumulator mid-segment to claim a smaller sum."""
+        cx = Graph()
+        cx.tensor((1, 4)).set(np.array([[0.1, 0.2, 0.3, 0.4]])).sum_reduce(1).retrieve()
+        cx.compile()
+        settings = gen_circuit_settings(cx)
+        pie = gen_trace(cx, settings)
+        t = pie.trace_tables["sum_reduce"]
+        inp = t.columns["input"].astype(np.int64)
+        # attacker: acc restarts at 0 on row 2; claims sum = inp[2] + inp[3]
+        acc = np.array([0, inp[0], 0, inp[2]])
+        nxt = acc + inp
+        t.columns["acc"] = (acc % ((1 << 31) - 1)).astype(np.uint32)
+        t.columns["next_acc"] = (nxt % ((1 << 31) - 1)).astype(np.uint32)
+        out = t.columns["out"].copy()
+        out[3] = nxt[3] % ((1 << 31) - 1)
+        t.columns["out"] = out
+        assert_rejected(pie, settings)
+
+    def test_honest_reduce_still_accepted(self):
+        cx = Graph()
+        a = cx.tensor((3, 5)).set(RNG.uniform(-0.8, 0.9, (3, 5)))
+        (a.max_reduce(1) + a.sum_reduce(1)).retrieve()
+        cx.compile()
+        settings = gen_circuit_settings(cx)
+        pie = gen_trace(cx, settings)
+        proof = prove(pie, settings, CFG)
+        assert verify(proof, settings)

@@ -109,6 +109,7 @@ const M31_MAX_C = P; // 2^31 - 1 as a constant multiplier (== 0 mod P)
 class PointEval {
   constructor(alpha, powRef, claimed) {
     this.main = new Map();
+    this.mainNext = new Map(); // MAIN_NEXT columns at z + G_n
     this.pp = new Map();
     this.inter = [];
     this.interPrev = qZero();
@@ -123,6 +124,12 @@ class PointEval {
   m(name) {
     const v = this.main.get(name);
     if (v === undefined) throw new Error(`missing main column ${name}`);
+    return v;
+  }
+
+  mn(name) {
+    const v = this.mainNext.get(name);
+    if (v === undefined) throw new Error(`missing next-row column ${name}`);
     return v;
   }
 
@@ -266,6 +273,10 @@ function evalSumReduce(ev, el) {
   booleanity(ev, 'is_last_step');
   ev.constraint(qSub(qSub(ev.m('next_acc'), ev.m('acc')), ev.m('input')));
   ev.constraint(qMul(qSub(ev.m('out'), ev.m('next_acc')), ev.m('is_last_step')));
+  // Row linking: acc chain continues inside a segment, restarts at 0 after
+  // a segment end.
+  ev.constraint(qMul(qSub(Q_ONE, ev.m('is_last_step')), qSub(ev.mn('acc'), ev.m('next_acc'))));
+  ev.constraint(qMul(ev.m('is_last_step'), ev.mn('acc')));
   transitions(ev, [['next_node_id', 'node_id'], ['next_input_id', 'input_id']]);
   ev.relation(el.node, ev.m('input_mult'), [ev.m('input'), ev.m('input_id')]);
   ev.relation(el.node, ev.m('out_mult'), [ev.m('out'), ev.m('node_id')]);
@@ -278,10 +289,29 @@ function evalMaxReduce(ev, el) {
   booleanity(ev, 'is_last_step');
   ev.constraint(qMul(ev.m('is_max'), qSub(ev.m('next_max_val'), ev.m('input'))));
   ev.constraint(qMul(qSub(Q_ONE, ev.m('is_max')), qSub(ev.m('next_max_val'), ev.m('max_val'))));
+  // >= soundness: next_max - loser recomposes from 8/8/8/6-bit limbs
+  // (limb3 range-checked as 4*limb3), bounding the step to [0, 2^30).
+  const loser = qAdd(
+    qMul(ev.m('is_max'), ev.m('max_val')),
+    qMul(qSub(Q_ONE, ev.m('is_max')), ev.m('input')),
+  );
+  let rec = ev.m('ge_limb0');
+  rec = qAdd(rec, qScaleConst(ev.m('ge_limb1'), 1 << 8));
+  rec = qAdd(rec, qScaleConst(ev.m('ge_limb2'), 1 << 16));
+  rec = qAdd(rec, qScaleConst(ev.m('ge_limb3'), 1 << 24));
+  ev.constraint(qAdd(qSub(rec, ev.m('next_max_val')), loser));
   ev.constraint(qMul(qSub(ev.m('out'), ev.m('next_max_val')), ev.m('is_last_step')));
+  // Row linking: max_val chain continues inside a segment; a new segment
+  // anchors its running max at its own first input.
+  ev.constraint(qMul(qSub(Q_ONE, ev.m('is_last_step')), qSub(ev.mn('max_val'), ev.m('next_max_val'))));
+  ev.constraint(qMul(ev.m('is_last_step'), qSub(ev.mn('max_val'), ev.mn('input'))));
   transitions(ev, [['next_node_id', 'node_id'], ['next_input_id', 'input_id']]);
   ev.relation(el.node, ev.m('input_mult'), [ev.m('input'), ev.m('input_id')]);
   ev.relation(el.node, ev.m('out_mult'), [ev.m('out'), ev.m('node_id')]);
+  ev.relation(el.rangeCheck, ev.m('range_check_mult'), [ev.m('ge_limb0')]);
+  ev.relation(el.rangeCheck, ev.m('range_check_mult'), [ev.m('ge_limb1')]);
+  ev.relation(el.rangeCheck, ev.m('range_check_mult'), [ev.m('ge_limb2')]);
+  ev.relation(el.rangeCheck, ev.m('range_check_mult'), [qScaleConst(ev.m('ge_limb3'), 4)]);
   ev.finalizeLogup();
 }
 
@@ -370,13 +400,15 @@ export const ALL_COMPONENTS = [
     mainCols: split('node_id input_id idx is_last_idx next_node_id next_input_id next_idx input out acc next_acc is_last_step input_mult out_mult'),
     nInteraction: 2,
     ppIds: [],
+    mainNext: ['acc'],
     evaluate: evalSumReduce,
   },
   {
     name: 'max_reduce',
-    mainCols: split('node_id input_id idx is_last_idx next_node_id next_input_id next_idx input out max_val next_max_val is_max is_last_step input_mult out_mult'),
-    nInteraction: 2,
+    mainCols: split('node_id input_id idx is_last_idx next_node_id next_input_id next_idx input out max_val next_max_val is_max is_last_step ge_limb0 ge_limb1 ge_limb2 ge_limb3 input_mult out_mult range_check_mult'),
+    nInteraction: 6,
     ppIds: [],
+    mainNext: ['max_val', 'input'],
     evaluate: evalMaxReduce,
   },
   {

@@ -11,7 +11,7 @@ import {
 } from './field.mjs';
 import { Channel } from './channel.mjs';
 import {
-  domainPointAt, groupGen, pointFromT, qptSub, cosetVanishingQ, piX, ldeColumn,
+  domainPointAt, groupGen, pointFromT, qptAdd, qptSub, cosetVanishingQ, piX, ldeColumn,
 } from './circle.mjs';
 import { merkleRoot, verifyDecommitment, computedPositions } from './merkle.mjs';
 import { parseProof, parseSettings } from './wire.mjs';
@@ -433,6 +433,15 @@ function verifyParsed(pf, st, onPhase) {
     treeLogs[1].push(log);
     treeNpts[1].push(1);
   }
+  // MAIN_NEXT columns open at z + G_n too (next-row masks).
+  for (let i = 0; i < lay.compIdx.length; i++) {
+    const c = ALL_COMPONENTS[lay.compIdx[i]];
+    const s0 = lay.mainSlices[i][0];
+    for (const name of c.mainNext || []) {
+      const k = c.mainCols.indexOf(name);
+      if (k >= 0) treeNpts[1][s0 + k] = 2;
+    }
+  }
   for (let i = 0; i < lay.compIdx.length; i++) {
     const c = ALL_COMPONENTS[lay.compIdx[i]];
     for (let b = 0; b < c.nInteraction; b++) {
@@ -471,6 +480,8 @@ function verifyParsed(pf, st, onPhase) {
       const s0 = lay.mainSlices[i][0];
       for (let k = 0; k < c.mainCols.length; k++) {
         ev.main.set(c.mainCols[k], pf.sampledValues[1][s0 + k][0]);
+      for (const name of c.mainNext || [])
+        ev.mainNext.set(name, pf.sampledValues[1][s0 + c.mainCols.indexOf(name)][1]);
       }
       for (let k = 0; k < c.ppIds.length; k++) {
         const pi = lay.ppIndex(c.ppIds[k]);
@@ -511,7 +522,9 @@ function verifyParsed(pf, st, onPhase) {
         let pt = z;
         if (pi === 1) {
           const gn = groupGen(treeLogs[t][c]);
-          pt = qptSub(z, { x: qFromM31(gn.x), y: qFromM31(gn.y) });
+          const gq = { x: qFromM31(gn.x), y: qFromM31(gn.y) };
+          // tree 1: next-row mask at z + G; tree 2: LogUp prev at z - G.
+          pt = t === 1 ? qptAdd(z, gq) : qptSub(z, gq);
         }
         samples.push({ commitLog, tree: t, col: c, point: pt, value: pf.sampledValues[t][c][pi] });
       }
