@@ -238,6 +238,11 @@ def _jit_merkle_tree(sig: tuple, mk=None):
     max_log = sig[0][0]
     ncols = dict(sig)
 
+    # Levels strictly below every column log are pure parent hashes; when
+    # they extend below _SCAN_TOP, collapse them into one scan instance.
+    min_col_log = min(log for log, _ in sig)
+    scan = max_log > _SCAN_TOP and min_col_log > _SCAN_TOP
+
     @jax.jit
     def run(flat_cols):
         cols_by_log = {}
@@ -247,7 +252,8 @@ def _jit_merkle_tree(sig: tuple, mk=None):
             i += k
         layers = {}
         prev = None
-        for log in range(max_log, -1, -1):
+        stop = _SCAN_TOP - 1 if scan else -1
+        for log in range(max_log, stop, -1):
             n = 1 << log
             parts = []
             if prev is not None:
@@ -258,6 +264,8 @@ def _jit_merkle_tree(sig: tuple, mk=None):
             layer_mk = mk if mk is not None and n >= 2 * n_dev else None
             prev = blake2s.hash_words(_shard_dim(words, layer_mk, 0))
             layers[log] = prev
+        if scan:
+            layers.update(_scan_tree_top(prev))
         return layers
 
     return run
@@ -669,163 +677,244 @@ def fold_line(values, line_log: int, kmax: int, alpha, mix_vals=None):
     return run(jnp.asarray(values), jnp.asarray(alpha), jnp.asarray(mix_vals))
 
 
+# Merkle levels at or below this log collapse into one lax.scan instance
+# inside fused tree builds (every scan step hashes a full padded
+# (2^(_SCAN_TOP-1), 16) buffer; the wasted work -- ~_SCAN_TOP * 2^(_SCAN_TOP-1)
+# hashes per tree -- is noise next to the bottom layers, while the saved
+# XLA compile instances are ~_SCAN_TOP per tree).
+_SCAN_TOP = 12
+
+
+def _scan_tree_top(level_digests):
+    """Hash Merkle levels _SCAN_TOP-1 .. 0 given the (2^_SCAN_TOP, 8)
+    digests of level _SCAN_TOP, as ONE lax.scan.  Returns {log: (2^log, 8)}
+    (valid rows of each padded step output)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..crypto import blake2s
+
+    half = 1 << (_SCAN_TOP - 1)
+
+    def step(D, _):
+        # Pairs are adjacent rows; garbage tail rows hash to garbage that
+        # stays in the tail (valid rows halve each step).
+        H = blake2s.hash_words(D.reshape(half, 16))
+        return jnp.concatenate([H, jnp.zeros((half, 8), jnp.uint32)]), H
+
+    _, ys = jax.lax.scan(step, level_digests, None, length=_SCAN_TOP)
+    return {
+        _SCAN_TOP - 1 - i: ys[i, : 1 << (_SCAN_TOP - 1 - i)]
+        for i in range(_SCAN_TOP)
+    }
+
+
 # ---------------------------------------------------------------------------
-# Fused FRI commit chain: Merkle trees + Fiat-Shamir channel + folds, one jit
+# Fused FRI commit chain: one jit PER COMMITTED LAYER, channel on device
+#
+# The Fiat-Shamir channel (crypto/channel.py) runs on device -- mix_root is
+# one Blake2s over (digest || root), felt draws are rejection-sampled
+# blocks under lax.while_loop, bit-identical to the host channel -- so no
+# root ever has to come back to the host between layers.  Each committed
+# layer (tree build + root mix + challenge draw + 2^F-arity folds with
+# smaller-input mixing) is ONE program, cached by (level, fold count, mix
+# mask): line twiddles are canonical per level, so the SAME compiled layer
+# serves every proof size that visits that level.  A whole chain is
+# #layers async dispatches + ONE final download (roots, alphas, channel
+# state, tail evals); XLA compile time stays linear in levels ever seen
+# (one monolithic whole-chain program took tens of minutes to compile at
+# 2^21 -- XLA optimization is super-linear in program size).
+#
+# Replaces the per-layer root round trips around stwo's FRI prover (used
+# by the reference via crates/prover/src/prover.rs:312).
 # ---------------------------------------------------------------------------
+
+_P_U32 = np.uint32(0x7FFFFFFF)
+_REJECT_U32 = np.uint32(0xFFFFFFFE)  # accept words < 2*P
+
+
+def _dev_draw_block(digest, counter):
+    """blake2s(digest || LE64(counter)): 40-byte one-block message."""
+    import jax.numpy as jnp
+
+    from ..crypto import blake2s
+
+    msg = jnp.concatenate(
+        [digest, counter.astype(jnp.uint32)[None], jnp.zeros(1, jnp.uint32)]
+    )
+    return blake2s.hash_words(msg)
+
+
+def _dev_draw_felt(digest, counter):
+    """Rejection-sampled QM31 draw, bit-identical to
+    Blake2sChannel.draw_felt (words < 2P accepted, reduced mod P;
+    partial-block leftovers discarded between draws)."""
+    import jax
+    import jax.numpy as jnp
+
+    def cond(st):
+        return st[0] < 4
+
+    def body(st):
+        cnt, ctr, out = st
+        block = _dev_draw_block(digest, ctr)
+        for i in range(8):
+            w = block[i]
+            accept = (w < _REJECT_U32) & (cnt < 4)
+            idx = jnp.minimum(cnt, 3)
+            wp = jnp.where(w >= _P_U32, w - _P_U32, w)
+            out = out.at[idx].set(jnp.where(accept, wp, out[idx]))
+            cnt = cnt + accept.astype(jnp.int32)
+        return (cnt, ctr + 1, out)
+
+    cnt, ctr, out = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), counter, jnp.zeros(4, jnp.uint32))
+    )
+    return out, ctr
+
+
+def _dev_mix_root(digest, root):
+    import jax.numpy as jnp
+
+    from ..crypto import blake2s
+
+    return blake2s.hash_words(jnp.concatenate([digest, root]))
 
 
 @lru_cache(maxsize=None)
-def _jit_fri_chain(logs: tuple, B: int, bound: int, F: int, mk=None):
-    """The WHOLE FRI commit phase as one XLA program.
+def _jit_draw_felt():
+    import jax
 
-    Per committed layer the eager path pays ~(layer_log+1) Merkle hash
-    dispatches plus a root-download sync (the Fiat-Shamir channel needs the
-    root before it can draw the fold challenge).  Here the channel itself
-    runs on device -- mix_root is one Blake2s over (digest || root), felt
-    draws are rejection-sampled blocks under lax.while_loop, bit-identical
-    to crypto/channel.py -- so the entire chain (fold-circle, per-layer
-    tree build, root mix, alpha draw, 2^F-arity folds with smaller-input
-    mixing) is a single dispatch.  Only the stacked roots/alphas and the
-    tiny last layer are downloaded, in one sync; tree layers and layer
-    evals stay HBM-resident for the later fused decommit gather.
+    return jax.jit(_dev_draw_felt)
 
-    Replaces the per-layer round trips around stwo's FRI prover (used by
-    the reference via crates/prover/src/prover.rs:312)."""
+
+def _dev_tree_layers(cur, log, mk):
+    """All Merkle layers of a 4-column single-log tree, in-program.
+    Large layers are unrolled (one hash instance per shape); layers below
+    _SCAN_TOP collapse into ONE lax.scan instance over a padded buffer."""
+    from ..crypto import blake2s
+
+    n_dev = mk.mesh.devices.size if mk is not None else 1
+    layers = {}
+    words = cur  # (n, 4): the 4 qm31 coordinate columns ARE the words
+    stop = _SCAN_TOP - 1 if log > _SCAN_TOP else -1
+    prev = None
+    for l in range(log, stop, -1):
+        lm = mk if mk is not None and (1 << l) >= 2 * n_dev else None
+        prev = blake2s.hash_words(_shard_dim(words, lm, 0))
+        layers[l] = prev
+        if l:
+            words = prev.reshape(1 << (l - 1), 16)
+    if log > _SCAN_TOP:
+        layers.update(_scan_tree_top(prev))
+    return layers
+
+
+@lru_cache(maxsize=None)
+def _jit_fri_layer(cur_log: int, f: int, mix_mask: tuple, mk=None):
+    """One committed FRI layer: Merkle tree over the current line evals,
+    root mixed into the device channel, fold challenge drawn, then ``f``
+    fold steps (mix_mask[t] says a smaller input joins after fold t,
+    scaled by the running challenge squared -- the in-chain mixing rule).
+
+    Cached by (level, f, mix_mask, mesh): line twiddles are canonical per
+    level (circle.py), so this executable is reused by every proof whose
+    chain visits this level."""
     import jax
     import jax.numpy as jnp
 
     from .. import circle
-    from ..crypto import blake2s
     from ..fields import qm31
     from ..pcs import fri as fri_mod
 
-    kmax = max(logs)
-    last_line_log = B + bound
-    tw_inv_all = circle.ifft_twiddles(kmax)
-    n_dev = mk.mesh.devices.size if mk is not None else 1
-
-    P = jnp.uint32(0x7FFFFFFF)
-    REJECT = jnp.uint32(0xFFFFFFFE)  # accept words < 2*P
-
-    def draw_block(digest, counter):
-        # blake2s(digest || LE64(counter)): 40-byte one-block message.
-        msg = jnp.concatenate(
-            [digest, counter.astype(jnp.uint32)[None], jnp.zeros(1, jnp.uint32)]
-        )
-        return blake2s.hash_words(msg)
-
-    def draw_felt(digest, counter):
-        """Rejection-sampled QM31 draw, bit-identical to
-        Blake2sChannel.draw_felt (words < 2P accepted, reduced mod P;
-        partial-block leftovers discarded between draws)."""
-
-        def cond(st):
-            return st[0] < 4
-
-        def body(st):
-            cnt, ctr, out = st
-            block = draw_block(digest, ctr)
-            for i in range(8):
-                w = block[i]
-                accept = (w < REJECT) & (cnt < 4)
-                idx = jnp.minimum(cnt, 3)
-                wp = jnp.where(w >= P, w - P, w)
-                out = out.at[idx].set(jnp.where(accept, wp, out[idx]))
-                cnt = cnt + accept.astype(jnp.int32)
-            return (cnt, ctr + 1, out)
-
-        cnt, ctr, out = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), counter, jnp.zeros(4, jnp.uint32))
-        )
-        return out, ctr
-
-    def mix_root(digest, root):
-        return blake2s.hash_words(jnp.concatenate([digest, root]))
-
-    def tree_layers(cur, log):
-        """All Merkle layers of a 4-column single-log tree, in-program."""
-        layers = {}
-        words = cur  # (n, 4): the 4 qm31 coordinate columns ARE the words
-        for l in range(log, -1, -1):
-            lm = mk if mk is not None and (1 << l) >= 2 * n_dev else None
-            prev = blake2s.hash_words(_shard_dim(words, lm, 0))
-            layers[l] = prev
-            if l:
-                words = prev.reshape(1 << (l - 1), 16)
-        return layers
+    tws = [
+        jnp.asarray(circle.ifft_twiddles(cur_log - t + 1)[1]) for t in range(f)
+    ]
 
     @jax.jit
-    def run(digest, counter, inputs_list):
-        inputs = dict(zip(sorted(logs, reverse=True), inputs_list))
-        alpha0, counter = draw_felt(digest, counter)
-        line_evals = {}
-        for k in sorted(logs, reverse=True):
-            v = _shard_dim(inputs[k], mk, 0)
-            line_evals[k - 1] = _shard_dim(
-                fri_mod.fold_circle_to_line(v, k, alpha0), mk, 0
-            )
-        cur = line_evals[kmax - 1]
-        cur_log = kmax - 1
-        roots, alphas, trees = [], [], []
-        while cur_log > last_line_log:
-            layers = tree_layers(cur, cur_log)
-            root = layers[0][0]
-            digest = mix_root(digest, root)
-            alpha, counter = draw_felt(digest, jnp.int32(0))
-            roots.append(root)
-            alphas.append(alpha)
-            trees.append((cur, layers))
-            beta = alpha
-            for _t in range(min(F, cur_log - last_line_log)):
-                mix = cur_log - 1 in line_evals and cur_log - 1 != kmax - 1
-                t_inv = jnp.asarray(tw_inv_all[kmax - cur_log])
-                cur = fri_mod.fold_line(cur, t_inv, beta)
-                cur_log -= 1
-                if mix:
-                    beta2 = qm31.mul(beta, beta)
-                    cur = qm31.add(
-                        cur,
-                        qm31.mul(jnp.broadcast_to(beta2, cur.shape), line_evals[cur_log]),
-                    )
-                cur = _shard_dim(cur, mk, 0)
-                beta = qm31.mul(beta, beta)
-        return (
-            digest,
-            counter,
-            jnp.stack(roots) if roots else jnp.zeros((0, 8), jnp.uint32),
-            jnp.stack(alphas) if alphas else jnp.zeros((0, 4), jnp.uint32),
-            alpha0,
-            cur,
-            trees,
-        )
+    def run(digest, cur, mix_vals):
+        cur = _shard_dim(cur, mk, 0)
+        layers = _dev_tree_layers(cur, cur_log, mk)
+        root = layers[0][0]
+        digest = _dev_mix_root(digest, root)
+        alpha, counter = _dev_draw_felt(digest, jnp.int32(0))
+        beta = alpha
+        out = cur
+        mi = 0
+        for t in range(f):
+            out = fri_mod.fold_line(out, tws[t], beta)
+            if mix_mask[t]:
+                beta2 = qm31.mul(beta, beta)
+                out = qm31.add(
+                    out, qm31.mul(jnp.broadcast_to(beta2, out.shape), mix_vals[mi])
+                )
+                mi += 1
+            out = _shard_dim(out, mk, 0)
+            beta = qm31.mul(beta, beta)
+        return digest, counter, root, alpha, out, layers
 
     return run
 
 
 def fri_commit_chain(inputs: Dict[int, "np.ndarray"], B: int, bound: int, F: int,
-                     digest32: bytes, counter: int):
-    """Run the fused FRI commit program.  inputs: {circle_log: (2^log, 4)}
-    device arrays.  Returns (host: digest bytes, counter, roots, alphas,
-    alpha0, last_evals; device: trees=[(evals, layers_dict)])."""
+                     stop_log: int, digest32: bytes, counter: int):
+    """Run the fold chain from level kmax-1 down to stop_log on device.
+    inputs: {circle_log: (2^log, 4)} device arrays.  Returns (host: digest
+    bytes, counter, roots, alphas, alpha0, cur at stop_log, tail line
+    evals below stop_log; device: trees=[(evals, layers_dict)]).  All
+    layer dispatches are async; the single jax.device_get at the end is
+    the only sync."""
     import jax
     import jax.numpy as jnp
 
-    logs = tuple(sorted(inputs, reverse=True))
-    run = _jit_fri_chain(logs, B, bound, F, mesh_key())
-    digest_w = jnp.asarray(np.frombuffer(digest32, dtype="<u4"))
-    outs = run(digest_w, jnp.int32(counter), [jnp.asarray(inputs[k]) for k in logs])
-    digest_d, counter_d, roots_d, alphas_d, alpha0_d, cur_d, trees = outs
+    logs = sorted(inputs, reverse=True)
+    kmax = logs[0]
+    last_line_log = B + bound
+    mk = mesh_key()
+
+    digest = jnp.asarray(np.frombuffer(digest32, dtype="<u4"))
+    alpha0_d, counter_d = _jit_draw_felt()(digest, jnp.int32(counter))
+    line_evals = {
+        k - 1: _jit_fold_circle(k, mk)(jnp.asarray(inputs[k]), alpha0_d)
+        for k in logs
+    }
+    cur = line_evals[kmax - 1]
+    cur_log = kmax - 1
+    roots, alphas_d, trees = [], [], []
+    while cur_log > stop_log:
+        f = min(F, cur_log - last_line_log)
+        mask = []
+        mix_vals = []
+        lvl = cur_log
+        for _t in range(f):
+            lvl -= 1
+            m = lvl in line_evals and lvl != kmax - 1
+            mask.append(m)
+            if m:
+                mix_vals.append(line_evals[lvl])
+        run = _jit_fri_layer(cur_log, f, tuple(mask), mk)
+        digest, counter_d, root, alpha, nxt, layers = run(digest, cur, mix_vals)
+        roots.append(root)
+        alphas_d.append(alpha)
+        trees.append((cur, layers))
+        cur = nxt
+        cur_log -= f
+
+    tail = {l: v for l, v in line_evals.items() if l < stop_log}
     # ONE download for everything the transcript needs.
-    digest_h, counter_h, roots_h, alphas_h, alpha0_h, cur_h = jax.device_get(
-        (digest_d, counter_d, roots_d, alphas_d, alpha0_d, cur_d)
+    digest_h, counter_h, roots_h, alphas_h, alpha0_h, cur_h, tail_h = (
+        jax.device_get(
+            (digest, counter_d, roots, alphas_d, alpha0_d, cur, tail)
+        )
     )
     return (
         np.asarray(digest_h, dtype="<u4").tobytes(),
         int(counter_h),
-        np.asarray(roots_h),
-        np.asarray(alphas_h),
+        [np.asarray(r) for r in roots_h],
+        [np.asarray(a) for a in alphas_h],
         np.asarray(alpha0_h),
         np.asarray(cur_h),
+        {int(l): np.asarray(v) for l, v in tail_h.items()},
         trees,
     )
 

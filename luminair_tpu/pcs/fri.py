@@ -54,6 +54,12 @@ _INV2 = np.uint32((int(m31.P) + 1) // 2)
 # device coverage of the chain (min() below).
 DEVICE_MIN_ROWS = 512
 
+# The fused device chain (one cached XLA program PER LAYER, shared across
+# proof sizes -- accel._jit_fri_layer) covers layers down to this many
+# rows; below it the dispatch overhead exceeds the work and the chain
+# finishes on the host.
+FUSED_MIN_ROWS = 1 << 5
+
 
 def _qm31_cols(ev):
     """(N, 4) qm31 evaluation -> list of 4 (N,) m31 columns."""
@@ -101,11 +107,25 @@ class FriProof:
     pow_nonce: int = 0
 
 
+def _chain_levels(kmax: int, last_line_log: int, F: int):
+    """The line levels the fold chain visits (committed-layer starts),
+    largest first, ending at last_line_log."""
+    levels = [kmax - 1]
+    while levels[-1] > last_line_log:
+        levels.append(levels[-1] - min(F, levels[-1] - last_line_log))
+    return levels
+
+
 def fri_prove(inputs: Dict[int, np.ndarray], config: FriConfig, channel) -> "tuple":
     """inputs: {circle_log: (2^log, 4) qm31 evals}.  Returns (FriProof-
     without-queries, layer_evals, fold context) -- queries are decommitted
     by `fri_decommit` after PoW/queries are drawn by the caller.
-    """
+
+    Device inputs run the large layers through ONE fused XLA program with a
+    device-resident Fiat-Shamir channel (accel.fri_commit_chain) -- no
+    per-layer root round trips -- then finish the small tail layers on the
+    host (below FUSED_MIN_ROWS host hashing is faster than the layers are
+    worth in compile time; the transcript is identical either way)."""
     logs = sorted(inputs, reverse=True)
     assert logs, "no FRI inputs"
     kmax = logs[0]
@@ -116,22 +136,37 @@ def fri_prove(inputs: Dict[int, np.ndarray], config: FriConfig, channel) -> "tup
     from ..parallel import accel
 
     device = any(not isinstance(v, np.ndarray) for v in inputs.values())
-    if device and accel.enabled():
-        return _fri_prove_device(inputs, config, channel)
-
-    alpha0 = channel.draw_felt()
-    if device:
-        line_evals = {k - 1: accel.fold_circle(inputs[k], k, alpha0) for k in logs}
-    else:
-        line_evals = {k - 1: fold_circle_to_line(inputs[k], k, alpha0) for k in logs}
-
-    cur = line_evals[kmax - 1]
-    cur_log = kmax - 1
+    F = max(1, int(getattr(config, "folds_per_layer", 1)))
     tw_inv_all = circle.ifft_twiddles(kmax)  # [y, x0, x1, ...]
-
     layers = []  # (log, evals, MerkleTree)
     alphas = []
-    F = max(1, int(getattr(config, "folds_per_layer", 1)))
+
+    if device and accel.enabled():
+        fused_min = min(FUSED_MIN_ROWS, max(1, accel.OFFLOAD_MIN_ROWS))
+        stop_log = last_line_log
+        for lvl in _chain_levels(kmax, last_line_log, F):
+            if (1 << lvl) < fused_min or lvl == last_line_log:
+                stop_log = lvl
+                break
+        if stop_log < kmax - 1:
+            alpha0, cur, cur_log, line_evals, layers, alphas = _fused_prefix(
+                inputs, config, channel, stop_log
+            )
+            device = False  # tail (possibly empty) continues on host
+        else:
+            alpha0 = channel.draw_felt()
+            line_evals = {k - 1: accel.fold_circle(inputs[k], k, alpha0) for k in logs}
+            cur = line_evals[kmax - 1]
+            cur_log = kmax - 1
+    else:
+        alpha0 = channel.draw_felt()
+        if device:
+            line_evals = {k - 1: accel.fold_circle(inputs[k], k, alpha0) for k in logs}
+        else:
+            line_evals = {k - 1: fold_circle_to_line(inputs[k], k, alpha0) for k in logs}
+        cur = line_evals[kmax - 1]
+        cur_log = kmax - 1
+
     host_min = min(DEVICE_MIN_ROWS, accel.OFFLOAD_MIN_ROWS)
     while cur_log > last_line_log:
         if device and cur.shape[0] < host_min:
@@ -192,32 +227,30 @@ def fri_prove(inputs: Dict[int, np.ndarray], config: FriConfig, channel) -> "tup
     return proof, ctx
 
 
-def _fri_prove_device(inputs: Dict[int, np.ndarray], config: FriConfig, channel):
-    """Device FRI commit: the WHOLE chain (per-layer Merkle builds, root
-    mixing, challenge draws, folds) runs as ONE fused XLA program with a
-    device-resident Blake2s channel (accel.fri_commit_chain), then the host
-    channel replays the downloaded roots to stay authoritative.  Replaces
-    one root-download sync + ~log(n) hash dispatches PER LAYER with one
-    dispatch + one download for the whole phase."""
+def _fused_prefix(inputs: Dict[int, np.ndarray], config: FriConfig, channel,
+                  stop_log: int):
+    """Run the fold chain from kmax-1 down to stop_log as ONE fused XLA
+    program with a device-resident Blake2s channel (accel.fri_commit_chain):
+    per-layer Merkle builds, root mixing, challenge draws and folds all in
+    one dispatch + one download.  The host channel replays the downloaded
+    roots to stay authoritative (bit-divergence asserts immediately).
+
+    Returns (alpha0, cur_host, stop_log, tail_line_evals_host, layers,
+    alphas) for the host loop to continue from."""
     from ..parallel import accel
 
     logs = sorted(inputs, reverse=True)
     kmax = logs[0]
     B = config.log_blowup_factor
     bound = config.log_last_layer_degree_bound
-    last_line_log = B + bound
-    assert min(logs) - 1 >= last_line_log
     F = max(1, int(getattr(config, "folds_per_layer", 1)))
 
-    digest_h, counter_h, roots, alphas_dev, alpha0_dev, cur, trees = (
-        accel.fri_commit_chain(
-            {k: inputs[k] for k in logs}, B, bound, F, channel.digest, channel._counter
-        )
+    (digest_h, counter_h, roots, alphas_dev, alpha0_dev, cur, tail_evals,
+     trees) = accel.fri_commit_chain(
+        {k: inputs[k] for k in logs}, B, bound, F, stop_log,
+        channel.digest, channel._counter,
     )
 
-    # Host channel replay: mix the downloaded roots, re-draw the challenges.
-    # The host channel stays the single source of truth; the device channel
-    # must agree bit-for-bit or the proof would not verify -- assert early.
     alpha0 = channel.draw_felt()
     assert np.array_equal(alpha0, alpha0_dev), "device channel diverged (alpha0)"
     alphas = []
@@ -230,40 +263,17 @@ def _fri_prove_device(inputs: Dict[int, np.ndarray], config: FriConfig, channel)
         "device channel diverged (state)"
     )
 
-    # Last layer: interpolate on host, check the strided degree bound, mix.
-    tw_inv_all = circle.ifft_twiddles(kmax)
-    cur_log = last_line_log
-    coeffs = fft.line_ifft_qm31(cur, tw_inv_all[kmax - cur_log :])
-    stride = 1 << B
-    mask = np.ones(len(coeffs), dtype=bool)
-    mask[::stride] = False
-    assert np.all(coeffs[mask] == 0), "last layer exceeds degree bound"
-    last_coeffs = np.ascontiguousarray(coeffs[::stride])
-    channel.mix_felts(last_coeffs)
-
     # Wrap the device-resident tree layers for the fused decommit gather.
     layers = []
     log_i = kmax - 1
+    last_line_log = B + bound
     for evals_d, layer_dict in trees:
         tree = MerkleTree.from_layers(layer_dict, [evals_d[:, j] for j in range(4)])
         layers.append((log_i, evals_d, tree))
         log_i -= min(F, log_i - last_line_log)
+    assert log_i == stop_log
 
-    proof = FriProof(
-        layer_roots=[np.asarray(r) for r in roots],
-        layer_queried_values=[],
-        layer_witnesses=[],
-        last_layer_coeffs=last_coeffs,
-    )
-    ctx = {
-        "layers": layers,
-        "alpha0": alpha0,
-        "alphas": alphas,
-        "kmax": kmax,
-        "folds_per_layer": F,
-        "last_line_log": last_line_log,
-    }
-    return proof, ctx
+    return alpha0, np.asarray(cur), stop_log, tail_evals, layers, alphas
 
 
 def fold_position_sets(pending, level_log: int, depth: int):
