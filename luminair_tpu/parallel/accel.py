@@ -75,7 +75,16 @@ class MeshKey:
 
     def __init__(self, mesh):
         self.mesh = mesh
-        self.axis = mesh.axis_names[0]
+        # 1-D ('chips',): shard rows over the single axis.  2-D
+        # ('hosts', 'chips'): shard rows over the flattened product, hosts
+        # outermost -- each host's chips hold a contiguous row block, so
+        # the LDE cols->rows all-to-all decomposes into an ICI-local
+        # transpose per host plus one contiguous-block exchange over DCN.
+        self.axis = (
+            mesh.axis_names[0]
+            if len(mesh.axis_names) == 1
+            else tuple(mesh.axis_names)
+        )
         self._k = (
             tuple(d.id for d in mesh.devices.flat),
             mesh.devices.shape,
@@ -90,12 +99,19 @@ class MeshKey:
 
 
 def use_mesh(mesh):
-    """Install (or clear, with None) the prover device mesh.  Must be 1-D:
-    the prover's scale axis is trace rows (SURVEY §5 "long-context"), and a
-    single named axis keeps every XLA reshard a plain all-to-all."""
+    """Install (or clear, with None) the prover device mesh.
+
+    1-D ``('chips',)``: single-host scale-out, every reshard a plain
+    all-to-all over ICI.  2-D ``('hosts', 'chips')``: multi-host scale-out
+    (SURVEY §7.8) -- rows shard over the flattened (hosts, chips) product
+    with hosts outermost, so row-pointwise phases (Merkle, constraints,
+    quotients, FRI folds) never communicate across hosts and only the
+    per-tree cols->rows reshard and tiny log-depth reductions touch DCN."""
     global _MESH
     if mesh is not None:
-        assert len(mesh.axis_names) == 1, "prover mesh must be 1-D (e.g. ('chips',))"
+        assert len(mesh.axis_names) in (1, 2), (
+            "prover mesh must be ('chips',) or ('hosts', 'chips')"
+        )
     _MESH = mesh
 
 

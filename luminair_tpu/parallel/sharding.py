@@ -64,6 +64,31 @@ def make_chip_mesh(n_devices: Optional[int] = None):
     return jax.sharding.Mesh(np.asarray(devs[:n_devices]), ("chips",))
 
 
+def make_host_chip_mesh(n_hosts: int, n_chips: int):
+    """A 2-D ('hosts', 'chips') mesh: n_hosts host groups of n_chips chips.
+
+    Multi-host (DCN) scale-out for the same sharded prove() pipeline
+    (SURVEY §7.8: 1 chip / 1 host / N hosts).  Trace rows shard over the
+    FLATTENED (hosts, chips) product with hosts outermost: every
+    row-pointwise phase (Merkle hashing, constraint evaluation, DEEP
+    quotients, FRI folds) is communication-free across hosts, and the only
+    DCN-crossing traffic is each tree's one cols->rows all-to-all (which
+    XLA decomposes into the intra-host ICI transpose plus contiguous
+    inter-host block exchange) and the log-depth claimed-sum reductions
+    (one QM31 -- 16 bytes -- per host per component).
+
+    Chips are assigned host-major (devices [h*n_chips, (h+1)*n_chips) form
+    host group h), matching how real multi-host TPU slices enumerate
+    ``jax.devices()``."""
+    import jax
+
+    devs = jax.devices()
+    need = n_hosts * n_chips
+    assert need <= len(devs), f"need {need} devices, have {len(devs)}"
+    grid = np.asarray(devs[:need]).reshape(n_hosts, n_chips)
+    return jax.sharding.Mesh(grid, ("hosts", "chips"))
+
+
 @contextlib.contextmanager
 def prove_mesh(mesh, offload_min_rows: Optional[int] = None):
     """Run the enclosed prove()/verify() calls SPMD over `mesh`.

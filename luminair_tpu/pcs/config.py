@@ -10,9 +10,10 @@ conjectured soundness ≈ pow_bits + n_queries * log_blowup_factor bits.
 The default profile (5 + 15*1 = 20 bits) matches the reference's
 stwo-default posture and is meant for benchmarking/integrity checking;
 use ``PcsConfig.high_security()`` (16 + 64*1 = 80 bits) for adversarial
-settings.  The prover currently requires log_blowup_factor == 1 (constraint
-evaluation reuses the commit-domain evals), so extra bits come from queries
-and PoW.
+settings, or ``PcsConfig.high_security(log_blowup=2)`` (16 + 32*2 = 80 bits)
+which halves the query/opening count at the cost of 2x larger committed
+trees.  Constraints are evaluated pointwise on the full commit domain, so
+any blowup in 1..4 works end-to-end across all three verifiers.
 """
 
 from __future__ import annotations
@@ -41,6 +42,10 @@ class FriConfig:
     def __post_init__(self):
         # Match the range the native/JS wire parsers enforce so verifier
         # behavior never diverges across implementations for one config.
+        if not (1 <= int(self.log_blowup_factor) <= 4):
+            raise ValueError(
+                f"log_blowup_factor must be in 1..4, got {self.log_blowup_factor}"
+            )
         if not (1 <= int(self.folds_per_layer) <= 8):
             raise ValueError(
                 f"folds_per_layer must be in 1..8, got {self.folds_per_layer}"
@@ -65,9 +70,17 @@ class PcsConfig:
         return self.pow_bits + self.fri.log_blowup_factor * self.fri.n_queries
 
     @staticmethod
-    def high_security() -> "PcsConfig":
-        """≥80 conjectured bits: 64 queries at blowup 2^1 + 16 PoW bits."""
-        return PcsConfig(pow_bits=16, fri=FriConfig(log_blowup_factor=1, n_queries=64))
+    def high_security(log_blowup: int = 1) -> "PcsConfig":
+        """≥80 conjectured bits: 16 PoW bits + ceil(64 / blowup) queries.
+
+        blowup 1 -> 64 queries (smallest committed trees); blowup 2 -> 32
+        queries (half the openings / roughly half the proof size, 2x the
+        committed-tree rows).  Pick by whether prover memory or proof size
+        is the binding constraint."""
+        q = -(-64 // int(log_blowup))
+        return PcsConfig(
+            pow_bits=16, fri=FriConfig(log_blowup_factor=log_blowup, n_queries=q)
+        )
 
     def to_dict(self):
         return {

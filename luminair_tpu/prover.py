@@ -48,7 +48,7 @@ def prove(pie: LuminairPie, settings, config: Optional[PcsConfig] = None) -> Lum
     from .parallel import accel
 
     config = config or PcsConfig()
-    assert config.log_blowup == 1, "constraint evaluation reuses commit evals (blowup 1)"
+    assert 1 <= config.log_blowup <= 4, "log_blowup_factor must be in 1..4"
     channel = Blake2sChannel()
     timer = tracing.start("prove")
 
@@ -128,12 +128,23 @@ def prove(pie: LuminairPie, settings, config: Optional[PcsConfig] = None) -> Lum
     # ---- phase 3a: composition poly ------------------------------------
     with timer.span("phase3a_composition"):
         alpha = channel.draw_felt()
-        comp_log = layout.composition_log
+        B = config.log_blowup
+        # Constraints are evaluated pointwise on each component's FULL
+        # commit domain (trace_log + B): the committed evals are already
+        # there, so no extra FFTs are needed at any blowup.  "Next row"
+        # (translation by the trace-domain generator G_n) is a cyclic roll
+        # by 2^B on that domain -- G_n = 2^(B+1) * G_{n+B+1}, so adding it
+        # shifts the odd-multiple index (2i+1) by 2^(B+1)/2 positions.
+        #
         # At blowup 1 the largest components' constraint-eval domain IS the
         # composition commit domain (stride 1): their quotient evaluations
         # sum pointwise into `comp_evals`, skipping the iFFT/FFT round trip
         # entirely.  Smaller components interpolate and land in
-        # `comp_coeffs` (strided), evaluated once at the end.
+        # `comp_coeffs` (strided), evaluated once at the end.  At blowup
+        # >= 2 the working domain (max_log + B) is larger than the
+        # composition's degree bound (max_log + 1); the accumulated evals
+        # are down-committed at the end of the phase.
+        comp_log = claim.max_log_size + B  # working domain log
         comp_evals = None  # (2^comp_log, 4) qm31 evals
         comp_coeffs = None  # (4, 2^comp_log) coefficient rows
         acc_pow = qm31.from_ints(1)
@@ -141,7 +152,7 @@ def prove(pie: LuminairPie, settings, config: Optional[PcsConfig] = None) -> Lum
             import jax.numpy as jnp
         for c in layout.components:
             n = claim.log_sizes[c.name]
-            eval_log = n + 1
+            eval_log = n + B
             tree_main = pcs.trees[1]
             tree_pp = pcs.trees[0]
             tree_inter = pcs.trees[2]
@@ -168,6 +179,7 @@ def prove(pie: LuminairPie, settings, config: Optional[PcsConfig] = None) -> Lum
                 q, acc_pow = accel.domain_constraints(
                     c, eval_log, n, main_evals, pp_evals, inter_evals,
                     is_first_evals, claimed, alpha, acc_pow, elems,
+                    roll_stride=1 << B,
                 )
             else:
                 inter_evals = [
@@ -183,7 +195,7 @@ def prove(pie: LuminairPie, settings, config: Optional[PcsConfig] = None) -> Lum
                     is_first_evals,
                     claimed,
                     acc,
-                    roll_stride=2,
+                    roll_stride=1 << B,
                 )
                 c.evaluate(dev, elems)
                 acc_pow = acc._pow
@@ -213,6 +225,24 @@ def prove(pie: LuminairPie, settings, config: Optional[PcsConfig] = None) -> Lum
             vals_t = accel.fft_eval(comp_coeffs) if device else fft.fft(comp_coeffs)
             extra = (jnp if device else np).moveaxis(vals_t, 0, -1)
             comp_evals = extra if comp_evals is None else m31.add(comp_evals, extra)
+        if B > 1:
+            # Down-commit: the composition has degree < 2^(max_log + 1)
+            # (constraints are degree <= 2), so its coefficient vector on
+            # the working domain is supported on the stride-2^(B-1)
+            # positions (the same embedding the strided scatter above and
+            # the FRI last layer use).  Extract those and re-evaluate on
+            # D_{max_log+1} so the committed column log is composition_log
+            # at every blowup -- the verifiers never see the working domain.
+            ct = (
+                accel.ifft_t(comp_evals)
+                if device
+                else fft.ifft(np.ascontiguousarray(comp_evals.T.reshape(4, -1)))
+            )
+            sub = ct[:, :: 1 << (B - 1)]
+            if not device:
+                sub = np.ascontiguousarray(sub)
+            vals_t = accel.fft_eval(sub) if device else fft.fft(sub)
+            comp_evals = (jnp if device else np).moveaxis(vals_t, 0, -1)
         if device:
             pcs.commit([comp_evals[:, k] for k in range(4)])
         else:

@@ -84,3 +84,83 @@ def test_default_mesh_uses_all_devices():
     evals_h, root_h, claimed_h = sharding.host_reference_step(cols, mult, z, alpha)
     np.testing.assert_array_equal(root, root_h)
     np.testing.assert_array_equal(claimed, claimed_h)
+
+
+def test_full_prove_sharded_n64_native():
+    """Real-size sharded prove (VERDICT round-2 item 7): a 64x64 graph on
+    the full 8-virtual-device mesh -- the cols->rows reshard moves 2^12-row
+    tables, not toy 16-row ones.  Bit-identity against the host proof AND
+    acceptance by the production (native C++) verifier."""
+    n_dev = min(8, len(jax.devices()))
+    cx = Graph()
+    rng = np.random.default_rng(17)
+    a = cx.tensor((64, 64)).set(rng.normal(size=(64, 64)))
+    b = cx.tensor((64, 64)).set(rng.normal(size=(64, 64)))
+    (a * b + a).retrieve()
+    cx.compile()
+    settings = gen_circuit_settings(cx)
+    pie = gen_trace(cx, settings)
+
+    proof_host = prove(pie, settings, CFG)
+    host_bytes = serde.proof_to_flat_bytes(proof_host)
+
+    mesh = sharding.make_chip_mesh(n_dev)
+    with sharding.prove_mesh(mesh, offload_min_rows=1):
+        proof_mesh = prove(pie, settings, CFG)
+    assert serde.proof_to_flat_bytes(proof_mesh) == host_bytes
+    from luminair_tpu import native
+
+    try:
+        native.build()
+    except Exception as e:  # pragma: no cover - no toolchain
+        pytest.skip(f"native toolchain unavailable: {e}")
+    assert native.verify(proof_mesh, settings)
+
+
+def test_hosts_chips_mesh_prove_bit_identical():
+    """2-D ('hosts', 'chips') mesh (SURVEY §7.8 multi-host scale-out): the
+    full prove() SPMD over a 2x4 host-major grid must still be bit-identical
+    to the host proof."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    cx = Graph()
+    rng = np.random.default_rng(29)
+    a = cx.tensor((16, 16)).set(rng.normal(size=(16, 16)))
+    b = cx.tensor((16, 16)).set(rng.normal(size=(16, 16)))
+    (a * b + a).retrieve()
+    cx.compile()
+    settings = gen_circuit_settings(cx)
+    pie = gen_trace(cx, settings)
+
+    proof_host = prove(pie, settings, CFG)
+    host_bytes = serde.proof_to_flat_bytes(proof_host)
+
+    mesh = sharding.make_host_chip_mesh(2, 4)
+    assert mesh.axis_names == ("hosts", "chips")
+    with sharding.prove_mesh(mesh, offload_min_rows=1):
+        proof_mesh = prove(pie, settings, CFG)
+    assert serde.proof_to_flat_bytes(proof_mesh) == host_bytes
+    assert verify(proof_mesh, settings)
+
+
+def test_lde_reshard_compiles_to_all_to_all():
+    """The cols->rows reshard after the per-tree LDE must lower to an
+    all-to-all (or collective-permute) -- NOT a full all-gather
+    rematerialization of every column on every chip (the round-1 concern).
+    Pins the collective by inspecting the compiled HLO."""
+    from luminair_tpu.parallel import accel
+
+    n_dev = min(8, len(jax.devices()))
+    mesh = sharding.make_chip_mesh(n_dev)
+    log_n = 12
+    with sharding.prove_mesh(mesh, offload_min_rows=1):
+        import jax.numpy as jnp
+
+        fn = accel._jit_lde(log_n, 1, accel.mesh_key())
+        cols = jnp.zeros((16, 1 << log_n), dtype=jnp.uint32)
+        hlo = fn.lower(cols).compile().as_text()
+    assert "all-to-all" in hlo, "cols->rows reshard did not lower to all-to-all"
+    # An all-gather of the full eval set would rematerialize every column on
+    # every chip; its presence alongside the all-to-all would mean the
+    # reshard fell back to replication.
+    assert hlo.count("all-gather") == 0, "LDE reshard rematerialized via all-gather"

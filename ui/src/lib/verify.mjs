@@ -363,7 +363,7 @@ function verifyParsed(pf, st, onPhase) {
     return fail(VerifyError.STRUCTURE, 'bad roots/sums count');
   }
   const B = pf.logBlowup;
-  if (B !== 1) return fail(VerifyError.STRUCTURE, 'unsupported blowup');
+  if (B < 1 || B > 4) return fail(VerifyError.STRUCTURE, 'unsupported blowup');
 
   const ch = new Channel();
   // Claim mix: flat (component index, log_size) pairs.

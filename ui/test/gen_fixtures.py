@@ -11,6 +11,8 @@ Fixtures (committed to the repo so CI needs no Python):
   simple.{lmv,lms}    mul+add graph (examples/simple.py shape)
   simple_f1.lmv       same graph proven with folds_per_layer=1 (covers the
                       single-fold FRI path of the wire/verifier)
+  simple_b2.lmv       same graph proven at log_blowup_factor=2 (covers the
+                      blowup>=2 LDE/FRI path of the wire/verifier)
   all_ops.{lmv,lms}   every component incl. sin/exp2/log2 LUTs + range check
   tampered.lmv        simple.lmv with one flipped trace byte (must fail)
 """
@@ -93,6 +95,27 @@ def main():
                 f.write(serde.proof_to_flat_bytes(p1))
             manifest["simple_f1"] = {
                 "proof": "simple_f1.lmv",
+                "settings": "simple.lms",
+                "expect": "success",
+            }
+            # Blowup-2 variant: exercises the log_blowup_factor>=2 path.
+            cfg2 = PcsConfig(
+                pow_bits=1,
+                fri=FriConfig(
+                    log_blowup_factor=2, log_last_layer_degree_bound=0,
+                    n_queries=3,
+                ),
+            )
+            cx2 = Graph()  # noqa: F405
+            build_simple(cx2)
+            cx2.compile()
+            st2 = gen_circuit_settings(cx2)  # noqa: F405
+            p2 = prove(gen_trace(cx2, st2), st2, config=cfg2)  # noqa: F405
+            assert verify(p2, st2)  # noqa: F405
+            with open(os.path.join(OUT, "simple_b2.lmv"), "wb") as f:
+                f.write(serde.proof_to_flat_bytes(p2))
+            manifest["simple_b2"] = {
+                "proof": "simple_b2.lmv",
                 "settings": "simple.lms",
                 "expect": "success",
             }
