@@ -10,6 +10,11 @@ reference).
 Usage:
     python benchmarks/ops_bench.py [--size 32] [--iters 3] [--accel]
                                    [--out results.json]
+    python benchmarks/ops_bench.py --sizes 32,64,128,256,512,1024 --accel
+                                   [--out sweep.json]
+
+--sizes runs the BASELINE.md size sweep (trace sizes 2^10..2^20: an NxN
+op table is N^2 rows) and adds a cells/s throughput entry per point.
 
 Without --accel this runs the host numpy prover (deterministic, works
 anywhere); with --accel it enables the TPU device engine and adds one
@@ -116,6 +121,8 @@ def bench_op(op: str, n: int, iters: int, warmup: int):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=32)
+    ap.add_argument("--sizes", default=None,
+                    help="comma list of N for a size sweep (overrides --size)")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--accel", action="store_true", help="enable TPU device engine")
     ap.add_argument("--ops", default=",".join(OPS))
@@ -128,18 +135,22 @@ def main():
         accel.enable(True)
     warmup = 1 if args.accel else 0
 
+    sizes = (
+        [int(x) for x in args.sizes.split(",")] if args.sizes else [args.size]
+    )
     entries = []
-    for op in args.ops.split(","):
-        times = bench_op(op, args.size, args.iters, warmup)
-        for stage in STAGES:
-            entries.append(
-                {
-                    "name": f"{op} Operator/{stage} ({args.size}x{args.size})",
-                    "unit": "ms",
-                    "value": round(times[stage] * 1e3, 3),
-                }
-            )
-            print(f"{entries[-1]['name']:>55}: {entries[-1]['value']:10.3f} ms")
+    for n in sizes:
+        for op in args.ops.split(","):
+            times = bench_op(op, n, args.iters, warmup)
+            for stage in STAGES:
+                entries.append(
+                    {
+                        "name": f"{op} Operator/{stage} ({n}x{n})",
+                        "unit": "ms",
+                        "value": round(times[stage] * 1e3, 3),
+                    }
+                )
+                print(f"{entries[-1]['name']:>55}: {entries[-1]['value']:10.3f} ms")
 
     if args.out:
         with open(args.out, "w") as f:

@@ -60,6 +60,20 @@ def enable_x64():
         jax.config.update("jax_enable_x64", True)
 
 
+# Ops the device interpreter can execute (both the trace and settings
+# segments).  Graphs containing anything else fall back to the host
+# interpreter -- a new op works end-to-end before its device branch lands
+# (docs/contribute/add-ops.md §3b).
+DEVICE_OPS = frozenset(
+    "add mul rem less_than recip sqrt sin exp2 log2 contiguous "
+    "sum_reduce max_reduce copy_to copy_from constant function cse_merged".split()
+)
+
+
+def supports(graph: Graph) -> bool:
+    return all(n.op in DEVICE_OPS for n in graph.nodes)
+
+
 def estimated_rows(graph: Graph) -> int:
     """Static bound on total trace rows (decides host vs device trace gen)."""
     total = 0

@@ -383,7 +383,9 @@ def _auto_device(graph: Graph) -> bool:
         return False
     from . import device_trace
 
-    return accel.offload_rows(device_trace.estimated_rows(graph))
+    return device_trace.supports(graph) and accel.offload_rows(
+        device_trace.estimated_rows(graph)
+    )
 
 
 def gen_circuit_settings(graph: Graph, device: Optional[bool] = None) -> CircuitSettings:

@@ -206,8 +206,15 @@ def _jit_lde(log_n: int, log_blowup: int, mk=None):
         cols = _shard_dim(cols, mk, 0)
         coeffs = fft.ifft(cols, tw_inv)
         n = cols.shape[-1]
-        big = jnp.zeros(cols.shape[:-1] + (n << log_blowup,), dtype=jnp.uint32)
-        big = big.at[..., :: 1 << log_blowup].set(coeffs)
+        # Strided zero-embedding as stack+reshape, NOT scatter: XLA's SPMD
+        # partitioner all-gathers scatter operands (rematerializing every
+        # column on every chip), and scatter is slow on TPU regardless.
+        lanes = [coeffs] + [
+            jnp.zeros_like(coeffs) for _ in range((1 << log_blowup) - 1)
+        ]
+        big = jnp.stack(lanes, axis=-1).reshape(
+            cols.shape[:-1] + (n << log_blowup,)
+        )
         evals = fft.fft(big, tw_big)
         # Hand the results back ROW-sharded: everything downstream (Merkle
         # leaves, constraint eval, quotients, query gathers) is row-pointwise.

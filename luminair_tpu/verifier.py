@@ -45,11 +45,28 @@ def _preprocessed_root(layout: AirLayout, settings, log_blowup: int) -> np.ndarr
     return root
 
 
-def verify(proof: LuminairProof, settings) -> bool:
-    """Raises on failure; returns True on acceptance."""
+def verify(proof: LuminairProof, settings, expected_config=None,
+           min_security_bits: int = 0) -> bool:
+    """Raises on failure; returns True on acceptance.
+
+    The PCS parameters ride in the proof (PROTOCOL §10), so a verifier
+    that accepts whatever arrives is open to parameter-downgrade: pass
+    ``expected_config`` to require an exact `PcsConfig` match, or
+    ``min_security_bits`` to enforce a floor on
+    ``proof.config.security_bits()`` (e.g. 80).  Mirrors stwo's verify
+    taking the config from the caller rather than the wire."""
     from . import tracing
 
     config = proof.config
+    if expected_config is not None and config != expected_config:
+        raise StwoVerifierError(
+            f"proof config {config} != expected {expected_config}"
+        )
+    if config.security_bits() < min_security_bits:
+        raise StwoVerifierError(
+            f"proof offers {config.security_bits()} security bits; "
+            f"caller requires >= {min_security_bits}"
+        )
     channel = Blake2sChannel()
     timer = tracing.start("verify")
 

@@ -136,3 +136,20 @@ class TestMerkle:
         cols2[0][11] ^= 1
         t2 = merkle.MerkleTree(cols2)
         assert not np.all(t1.root == t2.root)
+
+
+def test_grind_pow_vectorized_matches_scalar():
+    """grind_pow's batched numpy path (bits > 8) must return the SAME
+    first-hit nonce as the scalar hashlib loop -- the nonce is mixed into
+    the transcript, so any difference would change every later draw."""
+    from luminair_tpu.crypto.channel import Blake2sChannel
+
+    for seed, bits in [(1, 9), (7, 12), (99, 14)]:
+        ch = Blake2sChannel()
+        ch.mix_u64(seed)
+        fast = ch.grind_pow(bits)
+        ref = 0
+        while not ch.check_pow_nonce(bits, ref):
+            ref += 1
+        assert fast == ref
+        assert ch.check_pow_nonce(bits, fast)
