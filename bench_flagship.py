@@ -16,6 +16,13 @@ import os
 import sys
 import time
 
+
+def _log(msg):
+    print(f"[flagship +{time.perf_counter() - _T0:8.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+_T0 = time.perf_counter()
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
@@ -45,6 +52,7 @@ def main():
     t0 = time.perf_counter()
     settings = gen_circuit_settings(cx)
     settings_s = time.perf_counter() - t0
+    _log(f"settings done ({settings_s:.1f}s)")
 
     t0 = time.perf_counter()
     pie = gen_trace(cx, settings)
@@ -52,13 +60,16 @@ def main():
     cells = sum(
         t.n_rows * len(t.columns) for t in pie.trace_tables.values() if t.n_rows
     )
+    _log(f"trace done ({trace_s:.1f}s, {cells} cells)")
 
     # Warmup (jit compiles, persistently cached), then the timed prove.
     prove(pie, settings)
+    _log("warmup prove done")
     t0 = time.perf_counter()
     proof = prove(pie, settings)
     prove_s = time.perf_counter() - t0
     phases = tracing.last_phases("prove")
+    _log(f"timed prove done ({prove_s:.1f}s)")
 
     # Model correctness: fixed-point output close to the float reference.
     got = np.asarray(out.data()).reshape(-1)
@@ -75,9 +86,13 @@ def main():
     ok = native.verify_flat(pb, sb)
     verify_native_s = time.perf_counter() - t0
     assert ok, "flagship proof failed native verification"
-    t0 = time.perf_counter()
-    assert verify(proof, settings), "python/native verifier disagree"
-    verify_py_s = time.perf_counter() - t0
+    _log(f"native verify done ({verify_native_s:.2f}s)")
+    if os.environ.get("LUMINAIR_FLAGSHIP_PYVERIFY", "1") != "0":
+        t0 = time.perf_counter()
+        assert verify(proof, settings), "python/native verifier disagree"
+        verify_py_s = time.perf_counter() - t0
+    else:
+        verify_py_s = -1.0
 
     print(
         json.dumps(

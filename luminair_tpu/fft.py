@@ -37,18 +37,25 @@ def _xp(a):
     return m31._xp(a)
 
 
-# Block sizes below this would ideally run their butterflies in a
-# transposed layout: in the natural (..., n_blocks, m) view a small-m
-# stage's slices have minor dim m/2 < the TPU's 128-lane tile, so every
-# such stage runs the FULL array at <= m/256 lane efficiency.
+# Block sizes below this run their butterflies in a transposed layout: in
+# the natural (..., n_blocks, m) view a small-m stage's slices have minor
+# dim m/2 < the TPU's 128-lane tile, so every such stage runs the FULL
+# array at <= m/256 lane efficiency -- and worse, at multi-GB sizes XLA's
+# tile padding of the materialized (..., n_blocks, m) buffers (minor dims
+# 30 or 2 padded to 128) inflates HBM 4-64x: the PINN-scale 2^24-point
+# LDE needs 16+ GB through the natural path and ~2 GB transposed.
 #
-# DISABLED (0): the transposed path triggered a silent miscompilation on
+# History: the transposed path once triggered a silent miscompilation on
 # the axon TPU backend at exactly shape (4, 128, 32768) -- ifft of
 # (4, 2^22) returned wrong values while (3, 2^22), (4, 2^21) and
-# (4, 2^23) were all correct, and the identical code is right on JAX-CPU
-# at every size.  Until the small stages move into a Pallas kernel (where
-# the layout is explicit), correctness wins over the ~25% LDE speedup.
-_SMALL_M = 0
+# (4, 2^23) were all correct; identical code is right on JAX-CPU at every
+# size.  It is re-enabled because PINN-scale proving is impossible without
+# it, and every bench/driver proof is verified end-to-end, so an FFT
+# miscompile fails loudly (completeness, never soundness).  Set
+# LUMINAIR_FFT_SMALL_M=0 to fall back to the natural path.
+import os as _os
+
+_SMALL_M = int(_os.environ.get("LUMINAIR_FFT_SMALL_M", "256"))
 
 
 def _small_stages_ifft(a, twiddles_inv, stage, m, n_blocks, xp):

@@ -209,13 +209,22 @@ def _jit_lde(log_n: int, log_blowup: int, mk=None):
         # Strided zero-embedding as stack+reshape, NOT scatter: XLA's SPMD
         # partitioner all-gathers scatter operands (rematerializing every
         # column on every chip), and scatter is slow on TPU regardless.
-        lanes = [coeffs] + [
-            jnp.zeros_like(coeffs) for _ in range((1 << log_blowup) - 1)
-        ]
-        big = jnp.stack(lanes, axis=-1).reshape(
-            cols.shape[:-1] + (n << log_blowup,)
-        )
-        evals = fft.fft(big, tw_big)
+        if log_blowup == 1 and n > 1:
+            # Blowup-1 shortcut (mirrors fft.extend_coeffs_and_fft): the
+            # zero-interleaved m=2 stage maps [c, 0] -> [c, c], so emit
+            # the duplicate directly and skip that stage entirely.
+            big = jnp.stack([coeffs, coeffs], axis=-1).reshape(
+                cols.shape[:-1] + (n << 1,)
+            )
+            evals = fft.fft(big, tw_big, m_start=4)
+        else:
+            lanes = [coeffs] + [
+                jnp.zeros_like(coeffs) for _ in range((1 << log_blowup) - 1)
+            ]
+            big = jnp.stack(lanes, axis=-1).reshape(
+                cols.shape[:-1] + (n << log_blowup,)
+            )
+            evals = fft.fft(big, tw_big)
         # Hand the results back ROW-sharded: everything downstream (Merkle
         # leaves, constraint eval, quotients, query gathers) is row-pointwise.
         # This is the one all-to-all per tree (XLA lowers it onto ICI).
