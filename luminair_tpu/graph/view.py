@@ -118,17 +118,28 @@ class View:
             valid=tuple(self.valid[i] for i in order),
         )
 
-    def expand(self, dim: int, size: int) -> "View":
-        """Insert a broadcast dim of the given size at position `dim`, or
-        broadcast an existing size-1 dim to `size`."""
-        if dim < len(self.sizes) and self.sizes[dim] == 1 and size != 1:
-            sizes = list(self.sizes)
-            sizes[dim] = size
-            strides = list(self.strides)
-            strides[dim] = 0
-            valid = list(self.valid)
-            valid[dim] = (0, size)
-            return replace(self, sizes=tuple(sizes), strides=tuple(strides), valid=tuple(valid))
+    def broadcast(self, dim: int, size: int) -> "View":
+        """Broadcast an EXISTING dim at `dim` to `size`.
+
+        The dim must already have the target size (no-op) or size 1.  Unlike
+        `expand`, `broadcast(dim, 1)` on a size-1 dim is a well-defined no-op
+        -- the ambiguity that made matmul produce (m, 1, 1) outputs when
+        out-features == 1 (luminal's expand conflated both behaviours)."""
+        assert 0 <= dim < len(self.sizes), f"broadcast dim {dim} out of range for {self.sizes}"
+        if self.sizes[dim] == size:
+            return self
+        assert self.sizes[dim] == 1, f"cannot broadcast dim {dim} of {self.sizes} to {size}"
+        sizes = list(self.sizes)
+        sizes[dim] = size
+        strides = list(self.strides)
+        strides[dim] = 0
+        valid = list(self.valid)
+        valid[dim] = (0, size)
+        return replace(self, sizes=tuple(sizes), strides=tuple(strides), valid=tuple(valid))
+
+    def insert(self, dim: int, size: int) -> "View":
+        """Insert a NEW stride-0 (broadcast) dim of `size` at position `dim`."""
+        assert 0 <= dim <= len(self.sizes), f"insert dim {dim} out of range for {self.sizes}"
         sizes = list(self.sizes)
         strides = list(self.strides)
         valid = list(self.valid)
@@ -136,6 +147,14 @@ class View:
         strides.insert(dim, 0)
         valid.insert(dim, (0, size))
         return replace(self, sizes=tuple(sizes), strides=tuple(strides), valid=tuple(valid))
+
+    def expand(self, dim: int, size: int) -> "View":
+        """Legacy luminal-style expand: broadcast an existing size-1 dim when
+        `size != 1`, otherwise insert a new broadcast dim.  Ambiguous when the
+        target size is 1 -- new code should call `broadcast` or `insert`."""
+        if dim < len(self.sizes) and self.sizes[dim] == 1 and size != 1:
+            return self.broadcast(dim, size)
+        return self.insert(dim, size)
 
     def reshape(self, shape) -> "View":
         shape = tuple(int(s) for s in shape)
