@@ -39,7 +39,7 @@ import numpy as np
 from .. import fixed
 from ..air.pie import ExecutionResources, LuminairPie, Metadata, TraceTable
 from ..air.settings import CircuitSettings, Lookups
-from ..air.preprocessed import LookupLayout, Range, coalesce_ranges
+from ..air.preprocessed import LookupLayout, Range, coalesce_ranges, finalize_lookups
 from ..errors import LuminairError
 from .graph import Graph
 from .trace import NEG1, RANGE_MARGIN
@@ -138,10 +138,13 @@ class _Tracer:
         for kind in _LUT_OPS:
             layout = getattr(settings.lookups, kind)
             if layout is not None:
-                vals = layout.all_values()
-                self.lut_outs[kind] = fixed.from_float(
-                    _LUT_FNS[kind](fixed.to_float(vals))
-                )
+                if layout.outputs is not None:  # normative table bytes
+                    self.lut_outs[kind] = np.asarray(layout.outputs, dtype=np.int64)
+                else:  # legacy settings without shipped outputs
+                    vals = layout.all_values()
+                    self.lut_outs[kind] = fixed.from_float(
+                        _LUT_FNS[kind](fixed.to_float(vals))
+                    )
                 self.lut_sizes[kind] = 1 << layout.log_size
         self.rc_bits = settings.lookups.range_check_bits
         # Static op counter (mirrors the host interpreter's bookkeeping).
@@ -622,4 +625,5 @@ def gen_circuit_settings_device(graph: Graph) -> CircuitSettings:
             setattr(lk, kind, LookupLayout(coalesce_ranges(ranges[kind])))
     if any(n.op in ("less_than", "max_reduce") for n in graph.nodes):
         lk.range_check_bits = 8
+    finalize_lookups(lk)  # normative LUT output bytes (see preprocessed.py)
     return CircuitSettings(lookups=lk)

@@ -23,7 +23,7 @@ from ..air.pie import (
     Metadata,
     TraceTable,
 )
-from ..air.preprocessed import LookupLayout, Range, coalesce_ranges
+from ..air.preprocessed import LookupLayout, Range, coalesce_ranges, finalize_lookups
 from ..air.settings import CircuitSettings, Lookups
 from ..errors import LuminairError
 from .graph import Graph
@@ -219,14 +219,22 @@ def _run(graph: Graph, record_trace: bool, settings: Optional[CircuitSettings],
                 out, rem = fixed.sqrt(inp)
                 extra = {"rem": fixed.to_m31(rem), "scale": np.uint32(1 << fixed.DEFAULT_FP_SCALE)}
             elif op in ("sin", "exp2", "log2"):
-                fn = {"sin": np.sin, "exp2": np.exp2, "log2": lambda x: np.log2(np.maximum(x, 1e-300))}[op]
-                out = fixed.from_float(fn(fixed.to_float(inp)))
-                extra = {"lookup_mult": np.uint32(1)}
-                if record_trace and op in lut_mults:
-                    layout = getattr(settings.lookups, op)
+                layout = getattr(settings.lookups, op) if settings is not None else None
+                pos = None
+                if layout is not None:
                     pos = layout.find_index(inp)
                     if np.any(pos < 0):
                         raise LuminairError(f"{op} input outside LUT range")
+                if layout is not None and layout.outputs is not None:
+                    # Witness outputs come from the NORMATIVE table bytes, so
+                    # the LUT relation [input, out] balances against the
+                    # committed preprocessed column on any machine/libm.
+                    out = layout.outputs[pos]
+                else:  # settings pre-pass (range discovery) or legacy settings
+                    fn = {"sin": np.sin, "exp2": np.exp2, "log2": lambda x: np.log2(np.maximum(x, 1e-300))}[op]
+                    out = fixed.from_float(fn(fixed.to_float(inp)))
+                extra = {"lookup_mult": np.uint32(1)}
+                if record_trace and op in lut_mults:
                     np.add.at(lut_mults[op], pos, 1)
             else:  # contiguous
                 out = inp
@@ -410,6 +418,7 @@ def gen_circuit_settings(graph: Graph, device: Optional[bool] = None) -> Circuit
             setattr(lk, kind, lk_layout)
     if rc:
         lk.range_check_bits = 8
+    finalize_lookups(lk)  # normative LUT output bytes (see preprocessed.py)
     return CircuitSettings(lookups=lk)
 
 

@@ -36,6 +36,8 @@ ERROR_NAMES = {
     6: "proof of work failed",
     7: "decommitment failed",
     8: "FRI check failed",
+    9: "LUT output table out of tolerance",
+    10: "proof config below required security bits",
 }
 
 
@@ -66,12 +68,13 @@ def _load():
     with _lock:
         if _lib is None:
             lib = ctypes.CDLL(build())
-            lib.luminair_verify.restype = ctypes.c_int
-            lib.luminair_verify.argtypes = [
+            lib.luminair_verify_opts.restype = ctypes.c_int
+            lib.luminair_verify_opts.argtypes = [
                 ctypes.c_char_p,
                 ctypes.c_size_t,
                 ctypes.c_char_p,
                 ctypes.c_size_t,
+                ctypes.c_int,
                 ctypes.c_char_p,
                 ctypes.c_size_t,
             ]
@@ -79,25 +82,33 @@ def _load():
     return _lib
 
 
-def verify_flat(proof_bytes: bytes, settings_bytes: bytes) -> bool:
-    """Verify flat-format proof + settings blobs; raises on rejection."""
+def verify_flat(proof_bytes: bytes, settings_bytes: bytes,
+                min_security_bits: int = 0) -> bool:
+    """Verify flat-format proof + settings blobs; raises on rejection.
+
+    ``min_security_bits`` enforces a floor on the proof-carried PcsConfig
+    (pow_bits + log_blowup * n_queries) -- parameter-downgrade protection
+    matching verifier.py."""
     lib = _load()
     err = ctypes.create_string_buffer(256)
-    code = lib.luminair_verify(
-        proof_bytes, len(proof_bytes), settings_bytes, len(settings_bytes), err, 256
+    code = lib.luminair_verify_opts(
+        proof_bytes, len(proof_bytes), settings_bytes, len(settings_bytes),
+        int(min_security_bits), err, 256
     )
     if code != 0:
         raise NativeVerifierError(code, err.value.decode())
     return True
 
 
-def verify(proof, settings) -> bool:
+def verify(proof, settings, min_security_bits: int = 0) -> bool:
     """Verify a LuminairProof with the native verifier (serializes to the
     flat wire format first)."""
     from . import serde
 
     return verify_flat(
-        serde.proof_to_flat_bytes(proof), serde.settings_to_flat_bytes(settings)
+        serde.proof_to_flat_bytes(proof),
+        serde.settings_to_flat_bytes(settings),
+        min_security_bits,
     )
 
 

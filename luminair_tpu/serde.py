@@ -160,7 +160,11 @@ import struct
 
 _FLAT_MAGIC_PROOF = b"LMVF"
 _FLAT_MAGIC_SETTINGS = b"LMSF"
-_FLAT_VERSION_SETTINGS = 1
+# Settings v2: each LUT carries its normative output table (i64 raw fixed
+# f(x) per enumerated input) -- verifiers materialize preprocessed columns
+# from these bytes instead of recomputing transcendentals (PROTOCOL §5).
+# v1 (ranges only) is still parsed by all verifiers as the legacy path.
+_FLAT_VERSION_SETTINGS = 2
 _FLAT_VERSION_PROOF = 2  # v2: FRI config gained folds_per_layer (multi-fold layers)
 
 
@@ -197,11 +201,14 @@ class _W:
 
 
 def settings_to_flat_bytes(settings) -> bytes:
+    luts = [getattr(settings.lookups, k) for k in ("sin", "exp2", "log2")]
+    # v2 iff every present LUT ships its normative output table; a legacy
+    # settings object (no outputs) still serializes as v1.
+    v2 = all(l is None or l.outputs is not None for l in luts)
     w = _W()
     w.parts.append(_FLAT_MAGIC_SETTINGS)
-    w.u32(_FLAT_VERSION_SETTINGS)
-    for kind in ("sin", "exp2", "log2"):
-        layout = getattr(settings.lookups, kind)
+    w.u32(_FLAT_VERSION_SETTINGS if v2 else 1)
+    for layout in luts:
         w.u8(1 if layout is not None else 0)
         if layout is not None:
             w.u32(layout.log_size)
@@ -209,6 +216,10 @@ def settings_to_flat_bytes(settings) -> bytes:
             for r in layout.ranges:
                 w.i64(r.lo)
                 w.i64(r.hi)
+            if v2:
+                a = np.asarray(layout.outputs, dtype="<i8").reshape(-1)
+                w.u32(len(a))
+                w.parts.append(a.tobytes())
     rc = settings.lookups.range_check_bits
     w.u8(1 if rc else 0)
     if rc:

@@ -27,6 +27,26 @@ from .prover import LuminairProof
 _PP_ROOT_CACHE: Dict[tuple, np.ndarray] = {}
 
 
+def _validate_lut_tables(settings) -> None:
+    """Settings may ship normative LUT output bytes (PROTOCOL §5).  The
+    table is part of the public statement; before trusting it, bound how
+    far it can deviate from the actual transcendental -- otherwise a
+    malicious prover could label an arbitrary function "sin".  Tolerance
+    (one fixed step + 2^-48 relative) dwarfs cross-libm last-ulp noise, so
+    the check is implementation-independent.  Native (verify.inc) and JS
+    (verify.mjs) verifiers run the same check."""
+    from .air.preprocessed import validate_lut_outputs
+
+    for kind in ("sin", "exp2", "log2"):
+        layout = getattr(settings.lookups, kind, None)
+        if layout is not None and layout.outputs is not None:
+            ok, n_bad = validate_lut_outputs(kind, layout.all_values(), layout.outputs)
+            if not ok:
+                raise StwoVerifierError(
+                    f"{kind} LUT output table out of tolerance ({n_bad} entries)"
+                )
+
+
 def _preprocessed_root(layout: AirLayout, settings, log_blowup: int) -> np.ndarray:
     from . import serde
     from .pcs.scheme import TreeProver
@@ -67,6 +87,7 @@ def verify(proof: LuminairProof, settings, expected_config=None,
             f"proof offers {config.security_bits()} security bits; "
             f"caller requires >= {min_security_bits}"
         )
+    _validate_lut_tables(settings)
     channel = Blake2sChannel()
     timer = tracing.start("verify")
 

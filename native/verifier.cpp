@@ -18,6 +18,7 @@
 #include <cstring>
 #include <cmath>
 #include <cstdio>
+#include <cstdlib>
 #include <map>
 #include <set>
 #include <string>
@@ -679,6 +680,10 @@ struct LutLayout {
   bool present = false;
   int log_size = 0;
   std::vector<RangeI> ranges;
+  // Settings v2: the NORMATIVE output table (raw fixed f(x) per enumerated
+  // input, serde.py settings_to_flat_bytes).  Empty for v1 settings, where
+  // the column is recomputed from libm (legacy, implementation-defined).
+  std::vector<int64_t> outputs;
 };
 struct Settings {
   LutLayout sin, exp2, log2;
@@ -710,7 +715,8 @@ struct Proof {
 
 static bool parse_settings(Reader& r, Settings& s) {
   if (!r.magic("LMSF")) return false;
-  if (r.u32() != 1) return false;
+  uint32_t version = r.u32();
+  if (version != 1 && version != 2) return false;
   LutLayout* luts[3] = {&s.sin, &s.exp2, &s.log2};
   for (int k = 0; k < 3; k++) {
     if (r.u8()) {
@@ -718,11 +724,21 @@ static bool parse_settings(Reader& r, Settings& s) {
       luts[k]->log_size = (int)r.u32();
       uint32_t nr = r.u32();
       if (nr > 1u << 20) return false;
+      uint64_t n_values = 0;
       for (uint32_t i = 0; i < nr; i++) {
         RangeI rg;
         rg.lo = r.i64();
         rg.hi = r.i64();
+        if (rg.hi < rg.lo) return false;
+        n_values += (uint64_t)(rg.hi - rg.lo) + 1;
         luts[k]->ranges.push_back(rg);
+      }
+      if (version >= 2) {
+        uint32_t no = r.u32();
+        // The table must cover the enumeration exactly.
+        if ((uint64_t)no != n_values || no > 1u << 26) return false;
+        luts[k]->outputs.resize(no);
+        for (uint32_t i = 0; i < no; i++) luts[k]->outputs[i] = r.i64();
       }
     }
   }

@@ -69,11 +69,27 @@ def test_native_rejects_wrong_settings(all_ops_proof):
     proof, settings = all_ops_proof
     import copy
 
+    from luminair_tpu.air.preprocessed import finalize_lookups
+
     bad = copy.deepcopy(settings)
     bad.lookups.sin.ranges[0].lo -= 7
+    bad.lookups.sin.outputs = None  # regenerate a consistent normative table
+    finalize_lookups(bad.lookups)
     with pytest.raises(native.NativeVerifierError) as exc:
         native.verify(proof, bad)
     assert exc.value.code in (2, 3)
+
+
+def test_native_rejects_inconsistent_settings(all_ops_proof):
+    """Ranges disagreeing with the output-table length -> parse error."""
+    proof, settings = all_ops_proof
+    import copy
+
+    bad = copy.deepcopy(settings)
+    bad.lookups.sin.ranges[0].lo -= 7  # value_count != len(outputs)
+    with pytest.raises(native.NativeVerifierError) as exc:
+        native.verify(proof, bad)
+    assert exc.value.code == 1
 
 
 def test_native_rejects_unbalanced_logup(all_ops_proof):

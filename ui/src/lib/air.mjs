@@ -48,11 +48,10 @@ export function fixedToM31(v) {
 
 // LUT function per kind (air/preprocessed.py _LUT_FNS).
 //
-// CAVEAT: Math.sin / 2**x / Math.log2 are not required by ECMA-262 to be
-// correctly rounded, so a JS engine may disagree with the prover's libm in
-// the last ulp on rare inputs.  A divergence makes the recomputed
-// preprocessed root mismatch and verification FAIL CLOSED (never unsound).
-// The native C++ verifier shares the prover's libm and has no such gap.
+// With settings v2 the output column comes from NORMATIVE table bytes in
+// the settings (validated by validateLutOutputs below), so engine-libm
+// last-ulp divergence no longer affects the preprocessed root.  lutFn is
+// used for v1 (legacy recompute) settings and for the tolerance check.
 function lutFn(kind, x) {
   switch (kind) {
     case 0:
@@ -64,19 +63,55 @@ function lutFn(kind, x) {
   }
 }
 
+const P_BIG = BigInt(P);
+
+/** Signed BigInt fixed value -> M31 residue. */
+function bigToM31(v) {
+  let r = v % P_BIG;
+  if (r < 0n) r += P_BIG;
+  return Number(r);
+}
+
 /** Two columns (input, f(input)) over the coalesced ranges, zero padded. */
 export function lutColumns(kind, layout) {
   const n = 1 << layout.logSize;
   const col0 = new Uint32Array(n);
   const col1 = new Uint32Array(n);
+  const normative = layout.outputs != null;
   let i = 0;
   for (const rg of layout.ranges) {
     for (let v = rg.lo; v <= rg.hi && i < n; v++, i++) {
       col0[i] = fixedToM31(v);
-      col1[i] = fixedToM31(fixedFromNumber(lutFn(kind, fixedToNumber(v))));
+      col1[i] = normative
+        ? bigToM31(layout.outputs[i])
+        : fixedToM31(fixedFromNumber(lutFn(kind, fixedToNumber(v))));
     }
   }
   return [col0, col1];
+}
+
+/**
+ * Verify a shipped output table approximates f within tolerance (two fixed
+ * steps + 2^-48 relative -- dwarfs cross-engine last-ulp noise).  The table
+ * is part of the public statement; this bounds how far a malicious prover
+ * can bend "sin".  Mirrors air/preprocessed.py validate_lut_outputs and
+ * native/air.inc.  Returns true for v1 settings (column is recomputed).
+ */
+export function validateLutOutputs(kind, layout) {
+  if (layout.outputs == null) return true;
+  const TOL_REL = 2 ** -48;
+  let i = 0;
+  for (const rg of layout.ranges) {
+    for (let v = rg.lo; v <= rg.hi; v++, i++) {
+      let ys = lutFn(kind, fixedToNumber(v)) * FP_FACTOR;
+      if (Number.isNaN(ys)) ys = 0;
+      if (ys > SAFE_MAX) ys = SAFE_MAX;
+      if (ys < -SAFE_MAX) ys = -SAFE_MAX;
+      const tol = 2.0 + Math.abs(ys) * TOL_REL;
+      if (Math.abs(Number(layout.outputs[i]) - ys) > tol) return false;
+    }
+  }
+  return true;
 }
 
 // ---------------------------------------------------------------------------

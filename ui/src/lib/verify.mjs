@@ -15,7 +15,7 @@ import {
 } from './circle.mjs';
 import { merkleRoot, verifyDecommitment, computedPositions } from './merkle.mjs';
 import { parseProof, parseSettings } from './wire.mjs';
-import { ALL_COMPONENTS, LookupElems, PointEval, buildLayout, recombine } from './air.mjs';
+import { ALL_COMPONENTS, LookupElems, PointEval, buildLayout, recombine, validateLutOutputs } from './air.mjs';
 
 export const VerifyError = {
   OK: 0,
@@ -27,6 +27,8 @@ export const VerifyError = {
   POW: 6,
   DECOMMIT: 7,
   FRI: 8,
+  LUT_TABLE: 9,
+  CONFIG: 10,
 };
 
 /** Phase metadata for progress UIs (reference: wasm/src/utils.rs:79-107). */
@@ -343,20 +345,42 @@ function fail(code, error) {
  * Returns { success, code, error } — never throws on malformed input.
  * onPhase(id) is called as each verification phase starts.
  */
-export function verify(proofBytes, settingsBytes, onPhase = () => {}) {
+export function verify(proofBytes, settingsBytes, onPhaseOrOptions = () => {}) {
+  // Third argument: either onPhase(id) directly, or an options object
+  // { onPhase, minSecurityBits } -- minSecurityBits enforces a floor on
+  // the proof-carried PcsConfig (powBits + logBlowup * nQueries), the
+  // parameter-downgrade protection matching verifier.py / native.
+  const opts = typeof onPhaseOrOptions === 'function'
+    ? { onPhase: onPhaseOrOptions }
+    : (onPhaseOrOptions || {});
+  const onPhase = opts.onPhase || (() => {});
+  const minSecurityBits = opts.minSecurityBits || 0;
   onPhase('parse');
   const st = parseSettings(settingsBytes);
   if (!st) return fail(VerifyError.PARSE, 'settings parse error');
   const pf = parseProof(proofBytes);
   if (!pf) return fail(VerifyError.PARSE, 'proof parse error');
   try {
-    return verifyParsed(pf, st, onPhase);
+    return verifyParsed(pf, st, onPhase, minSecurityBits);
   } catch (e) {
     return fail(VerifyError.STRUCTURE, `exception: ${e.message}`);
   }
 }
 
-function verifyParsed(pf, st, onPhase) {
+function verifyParsed(pf, st, onPhase, minSecurityBits = 0) {
+  if (pf.powBits + pf.logBlowup * pf.nQueries < minSecurityBits) {
+    return fail(VerifyError.CONFIG, 'proof config below required security bits');
+  }
+  // Settings v2: validate shipped normative LUT tables before trusting them.
+  {
+    const kinds = ['sin', 'exp2', 'log2'];
+    const luts = [st.sin, st.exp2, st.log2];
+    for (let k = 0; k < 3; k++) {
+      if (luts[k].present && !validateLutOutputs(k, luts[k])) {
+        return fail(VerifyError.LUT_TABLE, `${kinds[k]} LUT output table out of tolerance`);
+      }
+    }
+  }
   const lay = buildLayout(pf, st);
   if (!lay) return fail(VerifyError.STRUCTURE, 'invalid claim/layout');
   if (pf.roots.length !== 4 || pf.sums.length !== pf.claim.length) {

@@ -48,6 +48,14 @@ class Reader {
     return n;
   }
 
+  /** Full-range i64 as BigInt (LUT output tables reach +-2^62). */
+  i64big() {
+    if (!this.need(8)) return 0n;
+    const v = this.dv.getBigInt64(this.off, true);
+    this.off += 8;
+    return v;
+  }
+
   qm31() {
     return [this.u32(), this.u32(), this.u32(), this.u32()];
   }
@@ -83,8 +91,11 @@ class Reader {
 export function parseSettings(bytes) {
   const r = new Reader(bytes);
   if (!r.magic('LMSF')) return null;
-  if (r.u32() !== 1) return null;
-  const emptyLut = () => ({ present: false, logSize: 0, ranges: [] });
+  const version = r.u32();
+  // v2: each LUT carries its normative output table (serde.py); v1 is the
+  // legacy recompute-from-libm path.
+  if (version !== 1 && version !== 2) return null;
+  const emptyLut = () => ({ present: false, logSize: 0, ranges: [], outputs: null });
   const s = { sin: emptyLut(), exp2: emptyLut(), log2: emptyLut(), rcPresent: false, rcBits: 0 };
   for (const lut of [s.sin, s.exp2, s.log2]) {
     if (r.u8()) {
@@ -92,10 +103,20 @@ export function parseSettings(bytes) {
       lut.logSize = r.u32();
       const nr = r.u32();
       if (nr > 1 << 20) return null;
+      let nValues = 0;
       for (let i = 0; i < nr; i++) {
         const lo = r.i64();
         const hi = r.i64();
+        if (hi < lo) return null;
+        nValues += hi - lo + 1;
         lut.ranges.push({ lo, hi });
+      }
+      if (version >= 2) {
+        const no = r.u32();
+        // The table must cover the enumeration exactly.
+        if (no !== nValues || no > 1 << 26) return null;
+        lut.outputs = new Array(no);
+        for (let i = 0; i < no; i++) lut.outputs[i] = r.i64big();
       }
     }
   }

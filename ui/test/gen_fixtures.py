@@ -143,6 +143,41 @@ def main():
                 "settings": "simple.lms",
                 "expect": "failure",
             }
+    # Wide-range exp2: LUT outputs reach 2^57, where libm/JS-Math last-ulp
+    # divergence used to flip fixed-point table entries.  Settings wire v2
+    # ships the normative output table, so the JS verifier must accept this
+    # without recomputing transcendentals (round-3 VERDICT weak #1 repro).
+    def build_wide_exp2(cx):
+        a = cx.tensor((2, 2)).set([[-40.0, -3.5], [12.25, 45.0]])
+        a.exp2().retrieve()
+
+    proof, settings, _ = prove_graph(build_wide_exp2)
+    sbytes = serde.settings_to_flat_bytes(settings)
+    assert int.from_bytes(sbytes[4:8], "little") == 2, "expected settings wire v2"
+    with open(os.path.join(OUT, "wide_exp2.lmv"), "wb") as f:
+        f.write(serde.proof_to_flat_bytes(proof))
+    with open(os.path.join(OUT, "wide_exp2.lms"), "wb") as f:
+        f.write(sbytes)
+    manifest["wide_exp2"] = {
+        "proof": "wide_exp2.lmv",
+        "settings": "wide_exp2.lms",
+        "expect": "success",
+    }
+    # Same settings with one table entry bent beyond tolerance: verifiers
+    # must reject with LUT_TABLE before recommitting anything.
+    import copy as _copy
+
+    bad = _copy.deepcopy(settings)
+    outs = np.array(bad.lookups.exp2.outputs, copy=True)
+    outs[len(outs) // 2] += 1 << 20
+    bad.lookups.exp2.outputs = outs
+    with open(os.path.join(OUT, "wide_exp2_badlut.lms"), "wb") as f:
+        f.write(serde.settings_to_flat_bytes(bad))
+    manifest["wide_exp2_badlut"] = {
+        "proof": "wide_exp2.lmv",
+        "settings": "wide_exp2_badlut.lms",
+        "expect": "failure",
+    }
     with open(os.path.join(OUT, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2)
     print(f"wrote fixtures to {OUT}: {sorted(manifest)}")
