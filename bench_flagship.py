@@ -92,7 +92,7 @@ def main():
         assert verify(proof, settings), "python/native verifier disagree"
         verify_py_s = time.perf_counter() - t0
     else:
-        verify_py_s = -1.0
+        verify_py_s = None  # null in JSON: skipped (not a timing)
 
     print(
         json.dumps(
@@ -106,7 +106,7 @@ def main():
                     "gen_trace_s": round(trace_s, 3),
                     "settings_s": round(settings_s, 3),
                     "verify_native_s": round(verify_native_s, 4),
-                    "verify_python_s": round(verify_py_s, 3),
+                    "verify_python_s": None if verify_py_s is None else round(verify_py_s, 3),
                     "proof_bytes": len(pb),
                     "model_max_abs_err": round(max_err, 5),
                     "tpu_phases_s": phases,

@@ -58,6 +58,30 @@ import os as _os
 _SMALL_M = int(_os.environ.get("LUMINAIR_FFT_SMALL_M", "256"))
 
 
+def self_check_small_m(device_ifft, log_n: int = 22, batch: int = 4) -> bool:
+    """Device-vs-host oracle check of the transposed small-m iFFT path on
+    the known-miscompile shape class ((4, 2^22) was the axon-backend repro
+    above).  `device_ifft` maps a host (batch, 2^log_n) uint32 array to its
+    iFFT, computed on the device under test.  Returns True iff it matches
+    the host numpy transform bit-for-bit.
+
+    Callers (parallel/accel.py enable()) disable the transposed path
+    (_SMALL_M = 0) and warn when this returns False, so a backend
+    miscompilation degrades to the slower natural layout instead of
+    producing proofs that fail verification after a multi-minute prove."""
+    rng = np.random.default_rng(0xF57)
+    a = rng.integers(0, int(m31.P), size=(batch, 1 << log_n), dtype=np.uint32)
+    host = ifft(a)
+    dev = np.asarray(device_ifft(a))
+    return bool(np.array_equal(host, dev))
+
+
+def disable_small_m() -> None:
+    """Force every FFT onto the natural-layout path (auto-fallback target)."""
+    global _SMALL_M
+    _SMALL_M = 0
+
+
 def _small_stages_ifft(a, twiddles_inv, stage, m, n_blocks, xp):
     """Finish iFFT line stages for m < _SMALL_M in transposed layout.
 

@@ -161,3 +161,46 @@ class TestFFT:
         c_np = fft.ifft(v)
         c_jax = np.asarray(jax.jit(lambda x: fft.ifft(x, jtw_inv))(jnp.asarray(v)))
         assert np.all(c_np == c_jax)
+
+
+class TestSmallMSelfCheck:
+    """The axon-backend miscompile containment (fft.py history note):
+    accel startup cross-checks the transposed small-m iFFT path against
+    the host oracle and auto-falls back to the natural layout on mismatch."""
+
+    def test_self_check_passes_on_honest_backend(self):
+        from luminair_tpu.parallel import accel
+
+        # Injected device fn = the host transform itself (honest).
+        ok = accel.self_check_fft(
+            device_ifft=lambda a: fft.ifft(a), force=True, log_n=12
+        )
+        assert ok
+        assert fft._SMALL_M != 0
+
+    def test_forced_miscompile_engages_fallback(self):
+        import warnings
+
+        from luminair_tpu.parallel import accel
+
+        before = fft._SMALL_M
+        assert before != 0
+
+        def corrupted(a):
+            out = np.array(fft.ifft(a), copy=True)
+            out[0, 0] ^= 1  # simulate a backend miscompilation
+            return out
+
+        try:
+            with warnings.catch_warnings(record=True) as caught:
+                warnings.simplefilter("always")
+                ok = accel.self_check_fft(device_ifft=corrupted, force=True, log_n=12)
+            assert not ok
+            assert fft._SMALL_M == 0, "fallback must disable the small-m path"
+            assert any("natural FFT layout" in str(w.message) for w in caught)
+            # Correctness on the fallback path: round trip still exact.
+            v = rand_col((4, 1 << 12))
+            assert np.all(fft.fft(fft.ifft(v)) == v)
+        finally:
+            fft._SMALL_M = before
+            accel._FFT_CHECKED = False

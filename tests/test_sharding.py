@@ -159,8 +159,17 @@ def test_lde_reshard_compiles_to_all_to_all():
         fn = accel._jit_lde(log_n, 1, accel.mesh_key())
         cols = jnp.zeros((16, 1 << log_n), dtype=jnp.uint32)
         hlo = fn.lower(cols).compile().as_text()
-    assert "all-to-all" in hlo, "cols->rows reshard did not lower to all-to-all"
-    # An all-gather of the full eval set would rematerialize every column on
-    # every chip; its presence alongside the all-to-all would mean the
-    # reshard fell back to replication.
-    assert hlo.count("all-gather") == 0, "LDE reshard rematerialized via all-gather"
+    # XLA may lower the reshard as all-to-all or collective-permute across
+    # versions; either is a point-to-point exchange, which is what we pin.
+    # The bit-identity tests above are the correctness anchor; this only
+    # guards the *cost model* (no full rematerialization).
+    assert (
+        "all-to-all" in hlo or "collective-permute" in hlo
+    ), "cols->rows reshard did not lower to a point-to-point collective"
+    # A rematerializing all-gather would produce the full (n_cols, big_n)
+    # eval set on every chip.  Gate on that shape so an incidental small
+    # all-gather in a future XLA version can't trip the test.
+    remat_shape = f"u32[16,{1 << (log_n + 1)}]"
+    for line in hlo.splitlines():
+        if "all-gather" in line and remat_shape in line:
+            raise AssertionError(f"LDE reshard rematerialized via all-gather: {line}")
