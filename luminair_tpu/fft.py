@@ -82,10 +82,9 @@ def disable_small_m() -> None:
     _SMALL_M = 0
 
 
-def _small_stages_ifft(a, twiddles_inv, stage, m, n_blocks, xp):
-    """Finish iFFT line stages for m < _SMALL_M in transposed layout.
-
-    a: (..., n) with n = n_blocks * m.  Returns (..., n)."""
+def _small_stages_ifft(a, twiddles_inv, stage, m, n_blocks, xp, sm=None):
+    """Finish iFFT line stages for m < the small-m threshold in transposed
+    layout.  a: (..., n) with n = n_blocks * m.  Returns (..., n)."""
     n = a.shape[-1]
     M0 = m
     nb0 = n // M0
@@ -104,12 +103,14 @@ def _small_stages_ifft(a, twiddles_inv, stage, m, n_blocks, xp):
     return xp.swapaxes(at, -1, -2).reshape(a.shape[:-1] + (n,))
 
 
-def _small_stages_fft(a, twiddles, log_n, xp, m_start=2):
-    """Run forward-FFT line stages for m < _SMALL_M in transposed layout.
-
-    Returns (a, m, n_blocks, stage) ready for the natural-layout stages."""
+def _small_stages_fft(a, twiddles, log_n, xp, m_start=2, sm=None):
+    """Run forward-FFT line stages for m < the small-m threshold in
+    transposed layout.  Returns (a, m, n_blocks, stage) ready for the
+    natural-layout stages."""
+    if sm is None:
+        sm = _SMALL_M
     n = a.shape[-1]
-    M0 = min(_SMALL_M // 2, n // 2)
+    M0 = min(sm // 2, n // 2)
     if M0 < m_start:
         return a, m_start, n // m_start, log_n - m_start.bit_length() + 1
     nb0 = n // M0
@@ -131,8 +132,13 @@ def _small_stages_fft(a, twiddles, log_n, xp, m_start=2):
     return a, m, n // m, stage
 
 
-def ifft(values, twiddles_inv=None):
-    """Interpolate: domain values (..., N) -> coefficients (..., N)."""
+def ifft(values, twiddles_inv=None, small_m=None):
+    """Interpolate: domain values (..., N) -> coefficients (..., N).
+
+    `small_m` overrides the module-level _SMALL_M transposed-path threshold
+    (0 forces the natural layout; used by the accel self-check to compare
+    both paths inside one program)."""
+    sm = _SMALL_M if small_m is None else small_m
     xp = _xp(values)
     n = values.shape[-1]
     log_n = n.bit_length() - 1
@@ -156,8 +162,8 @@ def ifft(values, twiddles_inv=None):
     m = n // 2
     stage = 1
     while m >= 2:
-        if xp is not np and m < _SMALL_M and n >= 2 * _SMALL_M:
-            return _small_stages_ifft(a, twiddles_inv, stage, m, n_blocks, xp)
+        if xp is not np and m < sm and n >= 2 * sm:
+            return _small_stages_ifft(a, twiddles_inv, stage, m, n_blocks, xp, sm)
         t = twiddles_inv[stage]  # 1/(2 x_j), length m/2
         blocks = a.reshape(a.shape[:-1] + (n_blocks, m))
         v0 = blocks[..., : m // 2]
@@ -171,12 +177,14 @@ def ifft(values, twiddles_inv=None):
     return a
 
 
-def fft(coeffs, twiddles=None, m_start=2):
+def fft(coeffs, twiddles=None, m_start=2, small_m=None):
     """Evaluate: coefficients (..., N) -> domain values (..., N).
 
     m_start > 2 skips the deepest line stages -- the caller guarantees the
     array already holds the stage-(m_start/2) output (used by the blowup-1
-    LDE, whose zero-extended first stage collapses to duplication)."""
+    LDE, whose zero-extended first stage collapses to duplication).
+    `small_m` overrides _SMALL_M (see ifft)."""
+    sm = _SMALL_M if small_m is None else small_m
     xp = _xp(coeffs)
     n = coeffs.shape[-1]
     log_n = n.bit_length() - 1
@@ -187,8 +195,8 @@ def fft(coeffs, twiddles=None, m_start=2):
         twiddles = circle.fft_twiddles(log_n)
 
     a = coeffs
-    if xp is not np and n >= 2 * _SMALL_M:
-        a, m, n_blocks, stage = _small_stages_fft(a, twiddles, log_n, xp, m_start)
+    if xp is not np and n >= 2 * sm and sm > 0:
+        a, m, n_blocks, stage = _small_stages_fft(a, twiddles, log_n, xp, m_start, sm)
     else:
         m, n_blocks, stage = m_start, n // m_start, log_n - m_start.bit_length() + 1
     # Line stages in reverse (deepest first: block size 2 ... up to N/2).

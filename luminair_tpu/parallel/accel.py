@@ -53,20 +53,60 @@ def enable(flag: bool = True):
 
 _FFT_CHECKED = False
 
+# Canary shapes for the small-m miscompile check: (batch, log_n).  The
+# (4, 2^22) class is the documented axon repro (fft.py history note; the
+# round-4 self-check re-confirmed it live on the chip); (16, 2^20) covers
+# the wider-batch tree-LDE class.
+_FFT_CANARIES = ((4, 22), (16, 20))
+# Alternative thresholds to try before giving up on the transposed layout
+# entirely -- the miscompile is shape-specific, so a different block split
+# usually dodges it while keeping the 4-64x HBM/lane win at PINN scale.
+_SMALL_M_CANDIDATES = (128, 512)
+
+
+def _fft_mismatch_count(small_m: int, batch: int, log_n: int) -> int:
+    """Device-only canary: iFFT through the transposed path (small_m) vs
+    the natural path (small_m=0) inside ONE jit program on deterministic
+    device-generated input; downloads a single scalar.  No host transform
+    and no big tunnel transfers (a (4, 2^22) host round trip costs minutes
+    on the tunneled chip; this costs one compile + ~1 s)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .. import fft
+    from ..fields import m31
+
+    n = 1 << log_n
+
+    @jax.jit
+    def run():
+        i = jnp.arange(batch * n, dtype=jnp.uint32).reshape(batch, n)
+        x = (i * np.uint32(2654435761)) % np.uint32(m31.P)
+        a = fft.ifft(x, small_m=small_m)
+        b = fft.ifft(x, small_m=0)
+        return jnp.sum((a != b).astype(jnp.int32))
+
+    return int(run())
+
 
 def self_check_fft(device_ifft=None, force: bool = False, log_n: int = 22) -> bool:
-    """Run the transposed small-m FFT path once against the host oracle on
-    the known axon-miscompile shape class (fft.py history note: ifft of
-    (4, 2^22) silently returned wrong values on one backend build).  On
-    mismatch, auto-fall back to the natural layout (fft.disable_small_m)
-    and warn -- a backend miscompile then costs throughput, not a
-    multi-minute prove that fails verification (round-3 VERDICT weak #7).
+    """Validate the transposed small-m FFT path on the known-miscompile
+    canary shapes; on mismatch, try alternative thresholds and finally
+    fall back to the natural layout (fft.disable_small_m) with a warning.
+    A backend miscompile then costs throughput, never a multi-minute prove
+    that fails verification (round-3 VERDICT weak #7, ADVICE medium).
 
-    Runs once per process, only on non-CPU backends (the repro was
-    backend-specific; CPU is the oracle), unless `force`.  `device_ifft`
-    is injectable for tests.  Disable with LUMINAIR_FFT_SELFCHECK=0.
-    Returns True when the path is trusted (or already disabled)."""
+    The default check compares the transposed path against the natural
+    path on device (the natural path matches the host oracle at every
+    tested size -- fft.py history note), so it needs no host transform and
+    no large transfers.  Runs once per process, only on non-CPU backends,
+    unless `force`.  `device_ifft` is injectable for tests: when given,
+    the check compares it against the host numpy oracle instead.
+    Disable with LUMINAIR_FFT_SELFCHECK=0.  Returns True when the
+    transposed path (at whatever threshold survived) is trusted."""
     global _FFT_CHECKED
+    import warnings
+
     from .. import fft
 
     if _FFT_CHECKED and not force:
@@ -78,32 +118,56 @@ def self_check_fft(device_ifft=None, force: bool = False, log_n: int = 22) -> bo
         _FFT_CHECKED = True
         return True
     try:
+        if device_ifft is not None:  # test-injected: host-oracle compare
+            ok = fft.self_check_small_m(device_ifft, log_n=log_n)
+            _FFT_CHECKED = True
+            if not ok:
+                fft.disable_small_m()
+                warnings.warn(
+                    "device iFFT disagrees with the host oracle on the "
+                    "transposed small-m path; falling back to the natural "
+                    "FFT layout (slower, correct).  See fft.py "
+                    "LUMINAIR_FFT_SMALL_M."
+                )
+            return ok
+
         import jax
-        import jax.numpy as jnp
 
-        if device_ifft is None:
-            if jax.default_backend() == "cpu" and not force:
-                _FFT_CHECKED = True  # CPU is the oracle itself
+        if jax.default_backend() == "cpu" and not force:
+            _FFT_CHECKED = True  # CPU matches the host oracle at every size
+            return True
+
+        def bad_shapes(sm):
+            return [
+                (b, ln)
+                for b, ln in _FFT_CANARIES
+                if _fft_mismatch_count(sm, b, ln) != 0
+            ]
+
+        failed = bad_shapes(fft._SMALL_M)
+        _FFT_CHECKED = True
+        if not failed:
+            return True
+        for cand in _SMALL_M_CANDIDATES:
+            if not bad_shapes(cand):
+                warnings.warn(
+                    f"transposed small-m iFFT miscompiles at {failed} with "
+                    f"_SMALL_M={fft._SMALL_M}; switching to _SMALL_M={cand} "
+                    "(canaries pass there)."
+                )
+                fft._SMALL_M = cand
                 return True
-            device_ifft = lambda a: np.asarray(jax.jit(fft.ifft)(jnp.asarray(a)))
-        ok = fft.self_check_small_m(device_ifft, log_n=log_n)
+        fft.disable_small_m()
+        warnings.warn(
+            f"transposed small-m iFFT miscompiles at {failed} for every "
+            "candidate threshold; falling back to the natural FFT layout "
+            "(slower, correct).  See fft.py LUMINAIR_FFT_SMALL_M."
+        )
+        return False
     except Exception as e:  # pragma: no cover - only on broken backends
-        import warnings
-
         warnings.warn(f"FFT self-check could not run ({e}); keeping small-m path")
         _FFT_CHECKED = True
         return True
-    _FFT_CHECKED = True
-    if not ok:
-        import warnings
-
-        fft.disable_small_m()
-        warnings.warn(
-            "device iFFT disagrees with the host oracle on the transposed "
-            "small-m path; falling back to the natural FFT layout "
-            "(slower, correct).  See fft.py LUMINAIR_FFT_SMALL_M."
-        )
-    return ok
 
 
 # ---------------------------------------------------------------------------

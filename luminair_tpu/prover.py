@@ -62,6 +62,14 @@ def prove(pie: LuminairPie, settings, config: Optional[PcsConfig] = None) -> Lum
     # Device execution pays per-shape compile + transfer latency; small
     # proofs are faster end-to-end on host numpy.
     device = accel.offload_rows(1 << claim.max_log_size)
+    if device:
+        # AOT-compile every program this shape profile needs, in parallel
+        # threads (the serial compile-at-first-use wall was ~19 min on the
+        # flagship PINN -- parallel/precompile.py).  Idempotent and cheap
+        # when the persistent cache is warm.
+        from .parallel import precompile
+
+        precompile.warm(layout, claim, config)
 
     pcs = CommitmentSchemeProver(config, channel)
 

@@ -23,3 +23,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+# AOT precompilation (parallel/precompile.py) is a TPU cold-start
+# optimization; on XLA-CPU the extra plan compiles cost minutes per test.
+# test_precompile.py validates the plan's coverage without it.
+os.environ.setdefault("LUMINAIR_PRECOMPILE", "0")
