@@ -57,6 +57,30 @@ import os as _os
 
 _SMALL_M = int(_os.environ.get("LUMINAIR_FFT_SMALL_M", "256"))
 
+# Round-4 on-chip measurement mapped the miscompile: device FFT programs
+# whose array total lies in [2^24, 2^25) return wrong values -- measured
+# BAD: (4, 2^22), (16, 2^20), (8, 2^21), (2, 2^23) (all 2^24) and
+# (12, 2^21) (1.5x2^24, host-checksum-verified); measured OK: (4, 2^21),
+# (7, 2^21), (4, 2^23), (16, 2^21), (16, 2^22), (1, 2^21) and every split
+# variant.  Both layouts are implicated: the natural-layout whole
+# transform at (16, 2^20) disagreed with a clean split.  Workaround: any
+# device transform with total in the window splits into two half-batches
+# inside the same program (recursively -- a half landing back in the
+# window splits again; halves converge below 2^24).  A single-row 2^24
+# transform computes as (2, n) with a zero row and keeps row 0.  The accel
+# startup canaries (parallel/accel.py self_check_fft) guard that the
+# workaround holds on the running backend.
+_BAD_LO = 1 << 24
+_BAD_HI = 1 << 25
+
+
+def _split_bad_total(values, sm, xp) -> bool:
+    return (
+        xp is not np
+        and _BAD_LO <= values.size < _BAD_HI
+        and values.ndim >= 2
+    )
+
 
 def self_check_small_m(device_ifft, log_n: int = 22, batch: int = 4) -> bool:
     """Device-vs-host oracle check of the transposed small-m iFFT path on
@@ -140,6 +164,18 @@ def ifft(values, twiddles_inv=None, small_m=None):
     both paths inside one program)."""
     sm = _SMALL_M if small_m is None else small_m
     xp = _xp(values)
+    if _split_bad_total(values, sm, xp):
+        if values.shape[0] == 1:
+            padded = xp.concatenate([values, xp.zeros_like(values)], axis=0)
+            return ifft(padded, twiddles_inv, small_m=sm)[:1]
+        h = values.shape[0] // 2
+        return xp.concatenate(
+            [
+                ifft(values[:h], twiddles_inv, small_m=sm),
+                ifft(values[h:], twiddles_inv, small_m=sm),
+            ],
+            axis=0,
+        )
     n = values.shape[-1]
     log_n = n.bit_length() - 1
     assert 1 << log_n == n
@@ -186,6 +222,18 @@ def fft(coeffs, twiddles=None, m_start=2, small_m=None):
     `small_m` overrides _SMALL_M (see ifft)."""
     sm = _SMALL_M if small_m is None else small_m
     xp = _xp(coeffs)
+    if _split_bad_total(coeffs, sm, xp):
+        if coeffs.shape[0] == 1:
+            padded = xp.concatenate([coeffs, xp.zeros_like(coeffs)], axis=0)
+            return fft(padded, twiddles, m_start=m_start, small_m=sm)[:1]
+        h = coeffs.shape[0] // 2
+        return xp.concatenate(
+            [
+                fft(coeffs[:h], twiddles, m_start=m_start, small_m=sm),
+                fft(coeffs[h:], twiddles, m_start=m_start, small_m=sm),
+            ],
+            axis=0,
+        )
     n = coeffs.shape[-1]
     log_n = n.bit_length() - 1
     assert 1 << log_n == n

@@ -48,16 +48,21 @@ def enable(flag: bool = True):
     _ENABLED = flag
     if flag:
         _persistent_cache()
-        self_check_fft()
+        # Per-program first-use self-qualification (below) supersedes the
+        # startup canary sweep; run the sweep only on explicit request
+        # (it costs ~3 canary compiles, minutes cold on the tunnel).
+        if os.environ.get("LUMINAIR_FFT_SELFCHECK") == "1":
+            self_check_fft()
 
 
 _FFT_CHECKED = False
 
-# Canary shapes for the small-m miscompile check: (batch, log_n).  The
-# (4, 2^22) class is the documented axon repro (fft.py history note; the
-# round-4 self-check re-confirmed it live on the chip); (16, 2^20) covers
-# the wider-batch tree-LDE class.
-_FFT_CANARIES = ((4, 22), (16, 20))
+# Canary shapes for the miscompile-window check ([2^24, 2^25) totals,
+# fft.py _BAD_LO/_BAD_HI): (4, 2^22) is the documented axon repro
+# (re-confirmed live this round), (16, 2^20) the wider-batch tree-LDE
+# class, (12, 2^21) the non-power-of-two class caught by host checksum
+# ((12, 2^21) = the mul interaction-column group that failed e2e).
+_FFT_CANARIES = ((4, 22), (16, 20), (12, 21))
 # Alternative thresholds to try before giving up on the transposed layout
 # entirely -- the miscompile is shape-specific, so a different block split
 # usually dodges it while keeping the 4-64x HBM/lane win at PINN scale.
@@ -138,11 +143,15 @@ def self_check_fft(device_ifft=None, force: bool = False, log_n: int = 22) -> bo
             return True
 
         def bad_shapes(sm):
-            return [
-                (b, ln)
-                for b, ln in _FFT_CANARIES
-                if _fft_mismatch_count(sm, b, ln) != 0
-            ]
+            # Canary compiles dominate the check; run them concurrently
+            # (XLA compilation releases the GIL -- see precompile.py).
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(len(_FFT_CANARIES)) as ex:
+                counts = list(ex.map(
+                    lambda c: _fft_mismatch_count(sm, c[0], c[1]), _FFT_CANARIES
+                ))
+            return [c for c, n_bad in zip(_FFT_CANARIES, counts) if n_bad]
 
         failed = bad_shapes(fft._SMALL_M)
         _FFT_CHECKED = True
@@ -168,6 +177,219 @@ def self_check_fft(device_ifft=None, force: bool = False, log_n: int = 22) -> bo
         warnings.warn(f"FFT self-check could not run ({e}); keeping small-m path")
         _FFT_CHECKED = True
         return True
+
+
+# ---------------------------------------------------------------------------
+# First-use self-qualification of device FFT programs.
+#
+# The axon backend miscompiles FFT programs at unpredictable shapes (the
+# measured [2^24, 2^25)-total window plus at least one shape outside it),
+# and the corruption is silent until end-to-end verification fails after a
+# multi-minute prove.  Canary shapes can't enumerate an unknown class, so
+# every production FFT program qualifies ITSELF on its first real input:
+# a separate checker program (built with the OPPOSITE layout for program
+# independence) asserts the transform's defining identities on device --
+#
+#   lde:    fft_n(coeffs) == inputs  AND  ifft_{n+B}(evals) == embed(coeffs)
+#   ifft_t: fft_n(coeffs) == inputs^T
+#   fft:    ifft_n(values) == coeffs
+#
+# -- downloading one scalar.  A failing mode falls back (transposed ->
+# natural -> host numpy), and the verdict persists on disk, so the check
+# runs once per (kind, shape, backend) per machine.  A checker would have
+# to miscompile in a way that exactly cancels the production corruption to
+# false-pass -- two independent programs, implausible; end-to-end
+# verification remains the backstop.  Overhead: one extra compile + run on
+# the first use of each shape; zero afterwards.
+# ---------------------------------------------------------------------------
+
+_FFT_MODES: Dict[str, object] = {}
+_FFT_MODES_LOADED = False
+_HOST_MODE = "host"
+
+
+def _modes_path() -> str:
+    base = os.environ.get(
+        "LUMINAIR_FFT_MODES_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "luminair_jax"),
+    )
+    return os.path.join(base, "fft_modes.json")
+
+
+def _modes_load() -> None:
+    global _FFT_MODES_LOADED
+    if _FFT_MODES_LOADED:
+        return
+    _FFT_MODES_LOADED = True
+    try:
+        import json
+
+        with open(_modes_path()) as f:
+            _FFT_MODES.update(json.load(f))
+    except Exception:
+        pass
+
+
+def _modes_save() -> None:
+    try:
+        import json
+
+        path = _modes_path()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(_FFT_MODES, f, indent=0, sort_keys=True)
+    except Exception:
+        pass
+
+
+def _validate_fft_programs() -> bool:
+    import jax
+
+    return (
+        os.environ.get("LUMINAIR_FFT_VALIDATE", "1") != "0"
+        and jax.default_backend() != "cpu"
+    )
+
+
+# Bump when the validation procedure changes: stale verdicts from an
+# earlier checker generation must not steer mode selection.
+_MODES_SCHEMA = "v2"
+
+
+def _mode_key(kind: str, shape_sig: str) -> str:
+    import jax
+
+    from .. import fft
+
+    return f"{_MODES_SCHEMA}:{jax.default_backend()}:{kind}:{shape_sig}:sm{fft._SMALL_M}"
+
+
+def fft_mode_for(kind: str, shape_sig: str):
+    """Resolved small_m mode for a production FFT program: the persisted
+    verdict, else the global default (validated at first use).  Shared by
+    the dispatchers below and precompile.plan so both compile the same
+    executables."""
+    from .. import fft
+
+    _modes_load()
+    if not _validate_fft_programs():
+        return fft._SMALL_M
+    return _FFT_MODES.get(_mode_key(kind, shape_sig), None)
+
+
+def _record_mode(kind: str, shape_sig: str, mode) -> None:
+    _FFT_MODES[_mode_key(kind, shape_sig)] = mode
+    _modes_save()
+
+
+# Spot positions per validation check.  Deterministic per shape; a
+# miscompile corrupting >= a few percent of positions (every observed one
+# corrupts 70-100%) is caught with overwhelming probability; end-to-end
+# proof verification remains the backstop for anything subtler.
+_CHECK_SPOTS = 4
+
+
+def _spot_positions(n: int, count: int, seed: int) -> "np.ndarray":
+    rng = np.random.default_rng(0xC0FFEE ^ (seed & 0xFFFFFFFF))
+    return np.unique(rng.integers(0, n, size=count, dtype=np.int64))
+
+
+def _domain_point_qm31(log_n: int, j: int):
+    from .. import circle
+    from ..fields import qm31
+
+    xs, ys = circle.domain_points(log_n)
+    return (
+        np.asarray(qm31.from_ints(int(xs[j])), dtype=np.uint32),
+        np.asarray(qm31.from_ints(int(ys[j])), dtype=np.uint32),
+    )
+
+
+@lru_cache(maxsize=None)
+def _jit_eval_extended(log_n: int, log_blowup: int, mk=None):
+    """Evaluate the zero-stride-EMBEDDED coefficient rows at a QM31 point:
+    the polynomial whose D_{n+B} evaluations are the LDE output."""
+    import jax
+    import jax.numpy as jnp
+
+    from .. import fft
+
+    @jax.jit
+    def run(coeffs, px, py):
+        lanes = [coeffs] + [
+            jnp.zeros_like(coeffs) for _ in range((1 << log_blowup) - 1)
+        ]
+        big = jnp.stack(lanes, axis=-1).reshape(
+            coeffs.shape[:-1] + (coeffs.shape[-1] << log_blowup,)
+        )
+        return fft.eval_at_point(big, (px, py))
+
+    return run
+
+
+def _spot_eval_mismatch(coeffs, log_n: int, expect_cols, positions,
+                        log_blowup: int = 0, mk=None) -> int:
+    """Count spot positions where point-evaluating `coeffs` (embedded by
+    `log_blowup`) at domain point j disagrees with expect_cols[:, j].
+
+    The point evaluator is a halving fold -- structurally unlike the FFT
+    butterflies -- so it cross-checks the transform without sharing its
+    (observed-miscompiling) program shape.  Transfers: (C, 4) scalars per
+    spot."""
+    import jax.numpy as jnp
+
+    from ..fields import qm31
+
+    C = int(coeffs.shape[0])
+    bad = 0
+    dom_log = log_n + log_blowup
+    for j in positions:
+        px, py = _domain_point_qm31(dom_log, int(j))
+        if log_blowup:
+            got = _jit_eval_extended(log_n, log_blowup, mk)(
+                coeffs, jnp.asarray(px), jnp.asarray(py)
+            )
+        else:
+            got = _jit_eval_at_point(C, log_n, mk)(
+                coeffs, jnp.asarray(px), jnp.asarray(py)
+            )
+        got = np.asarray(got, dtype=np.uint32)
+        want_m31 = np.asarray(expect_cols[:, int(j)], dtype=np.uint32)
+        want = np.zeros((C, 4), dtype=np.uint32)
+        want[:, 0] = want_m31
+        bad += int(not np.array_equal(got, want))
+    return bad
+
+
+def _qualify(kind: str, shape_sig: str, candidates, run_prod, run_check,
+             host_fallback):
+    """Try production modes in order on the REAL input, validating each
+    with its checker; record and return the first that passes.  All modes
+    failing -> host numpy (correct, slow), also recorded."""
+    import warnings
+
+    for sm in candidates:
+        out = run_prod(sm)
+        try:
+            bad = int(run_check(sm, out))
+        except Exception as e:  # checker itself failed to build/run
+            warnings.warn(f"FFT checker unavailable for {kind}:{shape_sig} ({e}); "
+                          "accepting unvalidated result")
+            _record_mode(kind, shape_sig, sm)
+            return out
+        if bad == 0:
+            _record_mode(kind, shape_sig, sm)
+            return out
+        warnings.warn(
+            f"device FFT program {kind}:{shape_sig} (small_m={sm}) failed its "
+            f"round-trip identity on {bad} positions; trying the next mode"
+        )
+    warnings.warn(
+        f"no device FFT mode validates for {kind}:{shape_sig}; computing this "
+        "shape on the host (correct, slow)"
+    )
+    _record_mode(kind, shape_sig, _HOST_MODE)
+    return host_fallback()
 
 
 # ---------------------------------------------------------------------------
@@ -310,7 +532,7 @@ def is_device(x) -> bool:
 
 
 @lru_cache(maxsize=None)
-def _jit_lde(log_n: int, log_blowup: int, mk=None):
+def _jit_lde(log_n: int, log_blowup: int, mk=None, small_m=None):
     import jax
     import jax.numpy as jnp
 
@@ -324,7 +546,7 @@ def _jit_lde(log_n: int, log_blowup: int, mk=None):
         # Column-parallel transform: each chip owns whole columns, so the
         # circle-FFT butterflies never cross a shard boundary.
         cols = _shard_dim(cols, mk, 0)
-        coeffs = fft.ifft(cols, tw_inv)
+        coeffs = fft.ifft(cols, tw_inv, small_m=small_m)
         n = cols.shape[-1]
         # Strided zero-embedding as stack+reshape, NOT scatter: XLA's SPMD
         # partitioner all-gathers scatter operands (rematerializing every
@@ -336,7 +558,7 @@ def _jit_lde(log_n: int, log_blowup: int, mk=None):
             big = jnp.stack([coeffs, coeffs], axis=-1).reshape(
                 cols.shape[:-1] + (n << 1,)
             )
-            evals = fft.fft(big, tw_big, m_start=4)
+            evals = fft.fft(big, tw_big, m_start=4, small_m=small_m)
         else:
             lanes = [coeffs] + [
                 jnp.zeros_like(coeffs) for _ in range((1 << log_blowup) - 1)
@@ -344,7 +566,7 @@ def _jit_lde(log_n: int, log_blowup: int, mk=None):
             big = jnp.stack(lanes, axis=-1).reshape(
                 cols.shape[:-1] + (n << log_blowup,)
             )
-            evals = fft.fft(big, tw_big)
+            evals = fft.fft(big, tw_big, small_m=small_m)
         # Hand the results back ROW-sharded: everything downstream (Merkle
         # leaves, constraint eval, quotients, query gathers) is row-pointwise.
         # This is the one all-to-all per tree (XLA lowers it onto ICI).
@@ -356,16 +578,55 @@ def _jit_lde(log_n: int, log_blowup: int, mk=None):
 def lde_columns(cols, log_blowup: int):
     """(C, N) -> (coeffs (C, N), evals (C, N << log_blowup)).
 
-    Device path returns DEVICE arrays (callers keep them resident)."""
-    if not enabled():
-        from .. import fft
+    Device path returns DEVICE arrays (callers keep them resident); the
+    program self-qualifies on first use per shape (see the
+    self-qualification block above)."""
+    from .. import fft
 
+    if not enabled():
         coeffs = fft.ifft(np.asarray(cols))
         return coeffs, fft.extend_coeffs_and_fft(coeffs, log_blowup)
     import jax.numpy as jnp
 
+    C = int(cols.shape[0])
     log_n = int(cols.shape[-1]).bit_length() - 1
-    return _jit_lde(log_n, log_blowup, mesh_key())(jnp.asarray(cols))
+    mk = mesh_key()
+    sig = f"{C}x2^{log_n}:B{log_blowup}"
+    mode = fft_mode_for("lde", sig)
+    dev = jnp.asarray(cols)
+    if mode == _HOST_MODE:
+        host = np.asarray(cols)
+        coeffs = fft.ifft(host)
+        evals = fft.extend_coeffs_and_fft(coeffs, log_blowup)
+        return device_put(coeffs), device_put(evals)
+    if mode is not None:
+        return _jit_lde(log_n, log_blowup, mk, mode)(dev)
+
+    def run_prod(sm):
+        return _jit_lde(log_n, log_blowup, mk, sm)(dev)
+
+    def run_check(sm, out):
+        coeffs, evals = out
+        seed = (C << 8) ^ log_n ^ (log_blowup << 5)
+        bad = _spot_eval_mismatch(
+            coeffs, log_n, dev,
+            _spot_positions(1 << log_n, _CHECK_SPOTS, seed), 0, mk,
+        )
+        bad += _spot_eval_mismatch(
+            coeffs, log_n, evals,
+            _spot_positions(1 << (log_n + log_blowup), _CHECK_SPOTS, ~seed),
+            log_blowup, mk,
+        )
+        return bad
+
+    def host_fallback():
+        host = np.asarray(cols)
+        coeffs = fft.ifft(host)
+        evals = fft.extend_coeffs_and_fft(coeffs, log_blowup)
+        return device_put(coeffs), device_put(evals)
+
+    return _qualify("lde", sig, (fft._SMALL_M, 0), run_prod, run_check,
+                    host_fallback)
 
 
 # ---------------------------------------------------------------------------
@@ -693,7 +954,7 @@ def domain_constraints(comp, eval_log, trace_log, main_evals, pp_evals,
 
 
 @lru_cache(maxsize=None)
-def _jit_ifft_t(log_n: int, mk=None):
+def _jit_ifft_t(log_n: int, mk=None, small_m=None):
     import jax
     import jax.numpy as jnp
 
@@ -705,17 +966,46 @@ def _jit_ifft_t(log_n: int, mk=None):
     def run(q):
         # (N, 4) qm31 evals -> (4, N) coordinate coefficient rows.
         qT = _shard_dim(jnp.transpose(q), mk, 0)
-        return fft.ifft(qT, tw_inv)
+        return fft.ifft(qT, tw_inv, small_m=small_m)
 
     return run
 
 
 def ifft_t(q):
-    """Interpolate (N, 4) qm31 evaluations into (4, N) coefficient rows."""
+    """Interpolate (N, 4) qm31 evaluations into (4, N) coefficient rows.
+    Self-qualifying (see lde_columns)."""
     import jax.numpy as jnp
 
+    from .. import fft
+
     log_n = int(q.shape[0]).bit_length() - 1
-    return _jit_ifft_t(log_n, mesh_key())(jnp.asarray(q))
+    mk = mesh_key()
+    sig = f"2^{log_n}"
+    mode = fft_mode_for("ifft_t", sig)
+    dev = jnp.asarray(q)
+    if mode == _HOST_MODE:
+        host = np.asarray(q)
+        return device_put(fft.ifft(np.ascontiguousarray(host.T)))
+    if mode is not None:
+        return _jit_ifft_t(log_n, mk, mode)(dev)
+
+    def run_prod(sm):
+        return _jit_ifft_t(log_n, mk, sm)(dev)
+
+    def run_check(sm, out):
+        import jax.numpy as jnp
+
+        return _spot_eval_mismatch(
+            out, log_n, jnp.transpose(dev),
+            _spot_positions(1 << log_n, _CHECK_SPOTS, log_n), 0, mk,
+        )
+
+    def host_fallback():
+        host = np.asarray(q)
+        return device_put(fft.ifft(np.ascontiguousarray(host.T)))
+
+    return _qualify("ifft_t", sig, (fft._SMALL_M, 0), run_prod, run_check,
+                    host_fallback)
 
 
 # ---------------------------------------------------------------------------
@@ -1077,7 +1367,7 @@ def fri_commit_chain(inputs: Dict[int, "np.ndarray"], B: int, bound: int, F: int
 
 
 @lru_cache(maxsize=None)
-def _jit_fft(log_n: int, mk=None):
+def _jit_fft(log_n: int, mk=None, small_m=None):
     import jax
     import jax.numpy as jnp
 
@@ -1088,16 +1378,43 @@ def _jit_fft(log_n: int, mk=None):
     @jax.jit
     def run(coeffs):
         coeffs = _shard_dim(coeffs, mk, 0)  # column-parallel (rows of (C, N))
-        return fft.fft(coeffs, tw)
+        return fft.fft(coeffs, tw, small_m=small_m)
 
     return run
 
 
 def fft_eval(coeffs):
+    """Forward FFT of coefficient rows; self-qualifying (see lde_columns)."""
     import jax.numpy as jnp
 
+    from .. import fft
+
+    C = int(coeffs.shape[0])
     log_n = int(coeffs.shape[-1]).bit_length() - 1
-    return _jit_fft(log_n, mesh_key())(jnp.asarray(coeffs))
+    mk = mesh_key()
+    sig = f"{C}x2^{log_n}"
+    mode = fft_mode_for("fft", sig)
+    dev = jnp.asarray(coeffs)
+    if mode == _HOST_MODE:
+        return device_put(fft.fft(np.asarray(coeffs)))
+    if mode is not None:
+        return _jit_fft(log_n, mk, mode)(dev)
+
+    def run_prod(sm):
+        return _jit_fft(log_n, mk, sm)(dev)
+
+    def run_check(sm, out):
+        # vals[:, j] must equal the point evaluation of coeffs at p_j.
+        return _spot_eval_mismatch(
+            dev, log_n, out,
+            _spot_positions(1 << log_n, _CHECK_SPOTS, 0x5A ^ log_n), 0, mk,
+        )
+
+    def host_fallback():
+        return device_put(fft.fft(np.asarray(coeffs)))
+
+    return _qualify("fft", sig, (fft._SMALL_M, 0), run_prod, run_check,
+                    host_fallback)
 
 
 # ---------------------------------------------------------------------------

@@ -102,12 +102,20 @@ def plan(layout, claim, config) -> List[Job]:
     tree_groups = [g0, g1, g2, g3]
 
     # ---- phases 0-3: LDE per (log, group size) + Merkle per tree -------
+    from .. import fft as _fft
+
     lde_shapes = {(log, count) for g in tree_groups for log, count in g.items()}
     for log, count in sorted(lde_shapes):
+        sig = f"{count}x2^{log}:B{B}"
+        mode = accel.fft_mode_for("lde", sig)
+        if mode == accel._HOST_MODE:
+            continue  # this shape runs on the host
+        sm = _fft._SMALL_M if mode is None else mode
         jobs.append(Job(
-            f"lde:{log}x{count}", "_jit_lde", (log, B, mk),
+            f"lde:{log}x{count}", "_jit_lde", (log, B, mk, sm),
             (_u32(count, 1 << log),),
         ))
+        # (validation spot-check programs are tiny and compile lazily)
 
     merkle_sigs = {
         tuple((log + B, g[log]) for log in sorted(g, reverse=True))
@@ -156,25 +164,37 @@ def plan(layout, claim, config) -> List[Job]:
     strided_logs = sorted({
         comp_log[c.name] for c in layout.components if comp_log[c.name] < max_log
     })
+    def ifft_t_jobs(log):
+        sig = f"2^{log}"
+        mode = accel.fft_mode_for("ifft_t", sig)
+        if mode == accel._HOST_MODE:
+            return
+        sm = _fft._SMALL_M if mode is None else mode
+        jobs.append(Job(
+            f"ifft_t:{log}", "_jit_ifft_t", (log, mk, sm),
+            (_u32(1 << log, 4),),
+        ))
+
+
+    def fft_jobs(log):
+        sig = f"4x2^{log}"
+        mode = accel.fft_mode_for("fft", sig)
+        if mode == accel._HOST_MODE:
+            return
+        sm = _fft._SMALL_M if mode is None else mode
+        jobs.append(Job(
+            f"fft:{log}", "_jit_fft", (log, mk, sm),
+            (_u32(4, 1 << log),),
+        ))
+
+
     for log in strided_logs:
-        jobs.append(Job(
-            f"ifft_t:{log + B}", "_jit_ifft_t", (log + B, mk),
-            (_u32(1 << (log + B), 4),),
-        ))
+        ifft_t_jobs(log + B)
     if strided_logs:
-        jobs.append(Job(
-            f"fft:{max_log + B}", "_jit_fft", (max_log + B, mk),
-            (_u32(4, 1 << (max_log + B)),),
-        ))
+        fft_jobs(max_log + B)
     if B > 1:
-        jobs.append(Job(
-            f"ifft_t:{max_log + B}", "_jit_ifft_t", (max_log + B, mk),
-            (_u32(1 << (max_log + B), 4),),
-        ))
-        jobs.append(Job(
-            f"fft:{max_log + 1}", "_jit_fft", (max_log + 1, mk),
-            (_u32(4, 1 << (max_log + 1)),),
-        ))
+        ifft_t_jobs(max_log + B)
+        fft_jobs(max_log + 1)
 
     # ---- phase 3b: OODS sample groups ----------------------------------
     # Columns group by (point, trace size): z opens everything; z+G_n the

@@ -204,3 +204,33 @@ class TestSmallMSelfCheck:
         finally:
             fft._SMALL_M = before
             accel._FFT_CHECKED = False
+
+
+class TestBadWindowSplit:
+    """The [2^24, 2^25)-total miscompile workaround (fft._split_bad_total):
+    device transforms in the window split into half-batches; C==1 pads a
+    zero row.  Validated here on CPU with a shrunk window so the split
+    logic itself is exercised at test sizes."""
+
+    def test_split_matches_host_at_all_batch_shapes(self, monkeypatch):
+        import jax
+        import jax.numpy as jnp
+
+        monkeypatch.setattr(fft, "_BAD_LO", 1 << 12)
+        monkeypatch.setattr(fft, "_BAD_HI", 1 << 13)
+        rng = np.random.default_rng(21)
+        # in-window: even, odd (recursive), power-of-two, single-row (pad)
+        for shape in ((4, 1 << 10), (3, 1 << 11), (12, 1 << 9), (1, 1 << 12), (2, 1 << 11)):
+            assert (1 << 12) <= shape[0] * shape[1] < (1 << 13)
+            x = rng.integers(0, int(m31.P), size=shape, dtype=np.uint32)
+            host_c = fft.ifft(x)
+            dev_c = np.asarray(jax.jit(fft.ifft)(jnp.asarray(x)))
+            assert np.array_equal(host_c, dev_c), f"ifft window split wrong at {shape}"
+            host_v = fft.fft(host_c)
+            dev_v = np.asarray(jax.jit(fft.fft)(jnp.asarray(host_c)))
+            assert np.array_equal(host_v, dev_v), f"fft window split wrong at {shape}"
+            host_l = fft.extend_coeffs_and_fft(host_c, 1)
+            dev_l = np.asarray(
+                jax.jit(lambda c: fft.extend_coeffs_and_fft(c, 1))(jnp.asarray(host_c))
+            )
+            assert np.array_equal(host_l, dev_l), f"lde window split wrong at {shape}"

@@ -132,3 +132,45 @@ def test_warm_is_idempotent_and_gated(monkeypatch):
     shape profile."""
     monkeypatch.setenv("LUMINAIR_PRECOMPILE", "0")
     assert precompile.warm(None, None, None) == 0  # gated: args untouched
+
+
+@pytest.mark.slow
+def test_plan_covers_wide_graph_prove(monkeypatch):
+    """Coverage on the all-component graph (LUTs, range check, reductions,
+    strided sizes).  Slow: XLA-CPU compiles of these kernels take minutes;
+    the muladd test above is the fast gate."""
+    monkeypatch.setattr(accel, "OFFLOAD_MIN_ROWS", 1)
+    monkeypatch.setenv("LUMINAIR_PRECOMPILE", "0")
+    accel.enable(True)
+    try:
+        cx = Graph()
+        rng = np.random.default_rng(7)
+        a = cx.tensor((4, 8)).set(rng.uniform(0.1, 2.0, size=(4, 8)))
+        b = cx.tensor((4, 8)).set(rng.uniform(0.1, 2.0, size=(4, 8)))
+        (a.sin() + b.sqrt().exp2()).retrieve()
+        (a < b).retrieve()
+        (a * b).sum_reduce(1).retrieve()
+        a.recip().retrieve()
+        cx.compile()
+        settings = gen_circuit_settings(cx)
+        pie = gen_trace(cx, settings)
+
+        rec = _Recorder()
+        rec.install(monkeypatch)
+        proof = prove(pie, settings, CFG)
+        assert verify(proof, settings)
+    finally:
+        accel.enable(False)
+
+    from luminair_tpu.air.claim import LuminairClaim
+    from luminair_tpu.air.layout import AirLayout
+
+    tables = {n: t for n, t in pie.trace_tables.items() if t.n_rows > 0}
+    claim = LuminairClaim({n: t.log_size for n, t in tables.items()})
+    layout = AirLayout(claim, settings)
+    jobs = precompile.plan(layout, claim, CFG)
+    planned = {
+        (j.factory, j.key, _freeze(_shape_spec(list(j.args)))) for j in jobs
+    }
+    missed = rec.calls - planned
+    assert not missed, "\n".join(f"{m[0]} key={m[1]}" for m in sorted(missed, key=str))
