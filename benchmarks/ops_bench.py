@@ -35,6 +35,7 @@ OPS = [
     "Add",
     "Mul",
     "Recip",
+    "Square",
     "SumReduce",
     "MaxReduce",
     "Sin",
@@ -59,6 +60,8 @@ def build_graph(op: str, n: int):
         out = {"Add": a + b, "Mul": a * b, "LessThan": a < b, "Rem": a % b}[op]
     elif op == "Recip":
         out = a.recip()
+    elif op == "Square":
+        out = a.square()
     elif op == "SumReduce":
         out = a.sum_reduce(1)
     elif op == "MaxReduce":

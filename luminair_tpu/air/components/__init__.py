@@ -363,6 +363,29 @@ class RangeCheckLookupComponent(Component):
 #: Canonical component order -- fixes tree layout, claim order, and the
 #: constraint alpha-power assignment.  (Reference equivalent: the fixed
 #: member order of LuminairClaim, crates/air/src/lib.rs:30-163.)
+class SquareComponent(Component):
+    """out = x^2 in fixed point: x*x == out*2^S + rem (trunc semantics).
+
+    The worked example of docs/contribute/add-ops.md -- a framework
+    extension beyond the reference's 12 primitives (one operand
+    consumption per row instead of mul's two).  Appended LAST in
+    ALL_COMPONENTS: the canonical order is consensus-critical."""
+
+    name = "square"
+    MAIN = "node_id input_id idx is_last_idx next_node_id next_input_id next_idx input out rem input_mult out_mult".split()
+    N_INTERACTION = 2
+
+    def evaluate(self, ev, elems):
+        c = {n: ev.main(n) for n in self.MAIN}
+        ev.constraint(c["is_last_idx"] * (c["is_last_idx"] - 1))
+        ev.constraint(c["input"] * c["input"] - c["out"] * SCALE - c["rem"])
+        _transitions(ev, c, [("next_node_id", "node_id"), ("next_input_id", "input_id")])
+        node = elems["node"]
+        ev.relation(node, c["input_mult"], [c["input"], c["input_id"]])
+        ev.relation(node, c["out_mult"], [c["out"], c["node_id"]])
+        ev.finalize_logup()
+
+
 ALL_COMPONENTS = [
     AddComponent(),
     MulComponent(),
@@ -381,6 +404,9 @@ ALL_COMPONENTS = [
     Exp2LookupComponent(),
     Log2LookupComponent(),
     RangeCheckLookupComponent(),
+    # Post-reference extensions append strictly at the end (canonical
+    # order is consensus-critical: claim encoding, tree layout, alphas).
+    SquareComponent(),
 ]
 
 COMPONENTS_BY_NAME = {c.name: c for c in ALL_COMPONENTS}

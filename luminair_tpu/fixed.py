@@ -93,6 +93,19 @@ def mul(a, b):
     return out, rem
 
 
+def square(a):
+    """Returns (out, rem) with a*a == out*2^S + rem, trunc semantics.
+
+    The worked example of docs/contribute/add-ops.md: a dedicated square
+    primitive halves the LogUp traffic of `x * x` (one operand consumption
+    instead of two) and proves the guide's extension path end-to-end."""
+    xp = _xp(a)
+    prod = xp.asarray(a, dtype=xp.int64) ** 2
+    out = _trunc_div(prod, SCALE_FACTOR)
+    rem = prod - out * SCALE_FACTOR
+    return out, rem
+
+
 def recip(a):
     """Returns (out, rem) with a*out + rem == 2^(2S).  a == 0 -> (0, s^2)."""
     xp = _xp(a)

@@ -65,7 +65,7 @@ def enable_x64():
 # interpreter -- a new op works end-to-end before its device branch lands
 # (docs/contribute/add-ops.md §3b).
 DEVICE_OPS = frozenset(
-    "add mul rem less_than recip sqrt sin exp2 log2 contiguous "
+    "add mul rem less_than recip square sqrt sin exp2 log2 contiguous "
     "sum_reduce max_reduce copy_to copy_from constant function cse_merged".split()
 )
 
@@ -253,7 +253,7 @@ class _Tracer:
                     cols["range_check_mult"] = np.uint32(1)
                 blocks[op].append(_append(n, jnp, **cols))
 
-            elif op in ("recip", "sqrt", "sin", "exp2", "log2", "contiguous"):
+            elif op in ("recip", "square", "sqrt", "sin", "exp2", "log2", "contiguous"):
                 buf, view = srcs[0]
                 inp = view.gather(buf, jnp)
                 ids = {"input_id": node.srcs[0][0]}
@@ -263,6 +263,9 @@ class _Tracer:
                         "rem": fixed.to_m31(rem),
                         "scale": np.uint32(1 << fixed.DEFAULT_FP_SCALE),
                     }
+                elif op == "square":
+                    out, rem = fixed.square(inp)
+                    extra = {"rem": fixed.to_m31(rem)}
                 elif op == "sqrt":
                     out, rem = fixed.sqrt(inp)
                     extra = {
@@ -519,11 +522,13 @@ def _segment_fn(graph: Graph, seg_nodes: tuple, lut_nid):
                     buffers[nid] = fixed.div_rem(lhs, rhs)[1]
                 else:
                     buffers[nid] = fixed.less_than(lhs, rhs)[0]
-            elif op in ("recip", "sqrt", "contiguous"):
+            elif op in ("recip", "square", "sqrt", "contiguous"):
                 buf, view = srcs[0]
                 inp = view.gather(buf, jnp)
                 if op == "recip":
                     buffers[nid] = fixed.recip(inp)[0]
+                elif op == "square":
+                    buffers[nid] = fixed.square(inp)[0]
                 elif op == "sqrt":
                     buffers[nid] = fixed.sqrt(inp)[0]
                 else:

@@ -27,6 +27,7 @@ PRIMITIVE_OPS = {
     "add",
     "mul",
     "recip",
+    "square",
     "sin",
     "sqrt",
     "exp2",
@@ -372,6 +373,11 @@ class GraphTensor:
     def recip(self):
         return self._unary("recip")
 
+    def square(self):
+        """out = x^2 (dedicated primitive: one LogUp operand consumption
+        instead of mul's two -- docs/contribute/add-ops.md worked example)."""
+        return self._unary("square")
+
     def sin(self):
         return self._unary("sin")
 
@@ -445,9 +451,6 @@ class GraphTensor:
 
     def abs(self):
         return self.relu() + (-self).relu()
-
-    def square(self):
-        return self * self
 
     def mean_reduce(self, dim: int):
         size = self.shape[dim]

@@ -208,13 +208,16 @@ def _run(graph: Graph, record_trace: bool, settings: Optional[CircuitSettings],
                 tables[op].append(**cols)
                 op_counter[op] += 1
 
-        elif op in ("recip", "sqrt", "sin", "exp2", "log2", "contiguous"):
+        elif op in ("recip", "square", "sqrt", "sin", "exp2", "log2", "contiguous"):
             buf, view = srcs[0]
             inp = view.gather(buf)
             ids = {"input_id": node.srcs[0][0]}
             if op == "recip":
                 out, rem = fixed.recip(inp)
                 extra = {"rem": fixed.to_m31(rem), "scale": np.uint32(1 << fixed.DEFAULT_FP_SCALE)}
+            elif op == "square":
+                out, rem = fixed.square(inp)
+                extra = {"rem": fixed.to_m31(rem)}
             elif op == "sqrt":
                 out, rem = fixed.sqrt(inp)
                 extra = {"rem": fixed.to_m31(rem), "scale": np.uint32(1 << fixed.DEFAULT_FP_SCALE)}

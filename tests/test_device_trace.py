@@ -55,6 +55,7 @@ def build_broadcast(cx, d):
     a = cx.tensor((3, 1)).set(d["a31"])
     b = cx.tensor((3, 4)).set(d["b"])
     (a.expand(1, 4) * b + a.expand(1, 4)).sum_reduce(0).retrieve()
+    b.square().retrieve()
 
 
 def build_slices(cx, d):

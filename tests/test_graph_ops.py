@@ -198,6 +198,54 @@ class TestMovement:
         assert_close(out["out"], a.T + b)
 
 
+class TestSquare:
+    """The add-ops.md worked example: a post-reference primitive taken
+    through every layer (kernel, DSL, trace, device, AIR, native, JS)."""
+
+    @pytest.mark.parametrize("shape", SHAPES_UNARY)
+    def test_square_differential(self, shape):
+        a = RNG.normal(size=shape)
+
+        def build(cx):
+            return {"out": cx.tensor(shape).set(a).square()}
+
+        out = run_graph(build)
+        assert_close(out["out"], a * a, tol=2e-3)
+
+    def test_square_halves_logup_traffic(self):
+        """square consumes its operand once; x*x consumes it twice."""
+        from luminair_tpu.prelude import Graph, gen_circuit_settings, gen_trace
+
+        cx = Graph()
+        t = cx.tensor((4, 4)).set(RNG.normal(size=(4, 4)))
+        t.square().retrieve()
+        cx.compile()
+        st = gen_circuit_settings(cx)
+        pie = gen_trace(cx, st)
+        assert "square" in pie.trace_tables
+        assert "mul" not in pie.trace_tables
+        sq = pie.trace_tables["square"]
+        assert len(sq.columns) == 12  # vs mul's 16
+
+    def test_square_tampered_rem_rejected(self):
+        """Adversarial: bending the remainder witness must fail the
+        constraint x*x == out*2^S + rem at verification."""
+        from luminair_tpu.prelude import Graph, gen_circuit_settings, gen_trace, prove, verify
+
+        cx = Graph()
+        t = cx.tensor((2, 2)).set([[1.5, -0.25], [3.0, 0.5]])
+        t.square().retrieve()
+        cx.compile()
+        st = gen_circuit_settings(cx)
+        pie = gen_trace(cx, st)
+        col = np.array(pie.trace_tables["square"].columns["rem"], copy=True)
+        col[0] = (int(col[0]) + 1) % ((1 << 31) - 1)
+        pie.trace_tables["square"].columns["rem"] = col
+        proof = prove(pie, st, CFG)
+        with pytest.raises(Exception):
+            assert not verify(proof, st)
+
+
 class TestComposite:
     def test_matmul(self):
         a = RNG.normal(size=(3, 4))

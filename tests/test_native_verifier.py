@@ -36,6 +36,7 @@ def all_ops_proof():
         + a.log2().recip()
         + (a < b)
         + (a % b)
+        + a.square()
     ).sum_reduce(1).max_reduce(0)
     out.retrieve()
     cx.compile()

@@ -377,6 +377,19 @@ function evalRangeCheckTable(ev, el) {
   ev.finalizeLogup();
 }
 
+// square: x*x == out*2^S + rem (post-reference extension; appended LAST in
+// the canonical order -- docs/contribute/add-ops.md worked example).
+function evalSquare(ev, el) {
+  booleanity(ev, 'is_last_idx');
+  ev.constraint(
+    qSub(qSub(qMul(ev.m('input'), ev.m('input')), qScaleConst(ev.m('out'), SCALE_M31)), ev.m('rem')),
+  );
+  transitions(ev, [['next_node_id', 'node_id'], ['next_input_id', 'input_id']]);
+  ev.relation(el.node, ev.m('input_mult'), [ev.m('input'), ev.m('input_id')]);
+  ev.relation(el.node, ev.m('out_mult'), [ev.m('out'), ev.m('node_id')]);
+  ev.finalizeLogup();
+}
+
 // --- canonical component registry (air/components/__init__.py) --------------
 
 const split = (s) => s.split(' ');
@@ -464,6 +477,15 @@ export const ALL_COMPONENTS = [
   { name: 'exp2_lookup', mainCols: ['multiplicity'], nInteraction: 1, ppIds: ['exp2_lut_0', 'exp2_lut_1'], evaluate: makeEvalLutTable('exp2') },
   { name: 'log2_lookup', mainCols: ['multiplicity'], nInteraction: 1, ppIds: ['log2_lut_0', 'log2_lut_1'], evaluate: makeEvalLutTable('log2') },
   { name: 'range_check_lookup', mainCols: ['multiplicity'], nInteraction: 1, ppIds: ['range_check_8_column_0'], evaluate: evalRangeCheckTable },
+  // Post-reference extensions append strictly at the end (canonical order
+  // is consensus-critical).
+  {
+    name: 'square',
+    mainCols: 'node_id input_id idx is_last_idx next_node_id next_input_id next_idx input out rem input_mult out_mult'.split(' '),
+    nInteraction: 2,
+    ppIds: [],
+    evaluate: evalSquare,
+  },
 ];
 
 // ---------------------------------------------------------------------------

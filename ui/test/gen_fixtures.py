@@ -65,6 +65,7 @@ def build_all_ops(cx):
         + a.log2().recip()
         + (a < b)
         + (a % b)
+        + a.square()
     )
     out.sum_reduce(1).max_reduce(0).retrieve()
 
