@@ -305,54 +305,29 @@ def _domain_point_qm31(log_n: int, j: int):
     )
 
 
-@lru_cache(maxsize=None)
-def _jit_eval_extended(log_n: int, log_blowup: int, mk=None):
-    """Evaluate the zero-stride-EMBEDDED coefficient rows at a QM31 point:
-    the polynomial whose D_{n+B} evaluations are the LDE output."""
-    import jax
-    import jax.numpy as jnp
-
-    from .. import fft
-
-    @jax.jit
-    def run(coeffs, px, py):
-        lanes = [coeffs] + [
-            jnp.zeros_like(coeffs) for _ in range((1 << log_blowup) - 1)
-        ]
-        big = jnp.stack(lanes, axis=-1).reshape(
-            coeffs.shape[:-1] + (coeffs.shape[-1] << log_blowup,)
-        )
-        return fft.eval_at_point(big, (px, py))
-
-    return run
-
-
 def _spot_eval_mismatch(coeffs, log_n: int, expect_cols, positions,
                         log_blowup: int = 0, mk=None) -> int:
-    """Count spot positions where point-evaluating `coeffs` (embedded by
-    `log_blowup`) at domain point j disagrees with expect_cols[:, j].
+    """Count spot positions where point-evaluating `coeffs` at domain
+    point j of D_{log_n + log_blowup} disagrees with expect_cols[:, j].
 
-    The point evaluator is a halving fold -- structurally unlike the FFT
-    butterflies -- so it cross-checks the transform without sharing its
+    The zero-stride embedding shares its basis-factor list with the small
+    vector, so the LDE evals check needs NO embedded array: evaluating the
+    small coeff rows at the big-domain point IS the embedded polynomial's
+    value (verified bit-exactly in tests/test_fft_qualify.py).  The point
+    evaluator is a halving fold -- structurally unlike the FFT butterflies
+    -- so it cross-checks the transform without sharing its
     (observed-miscompiling) program shape.  Transfers: (C, 4) scalars per
     spot."""
     import jax.numpy as jnp
-
-    from ..fields import qm31
 
     C = int(coeffs.shape[0])
     bad = 0
     dom_log = log_n + log_blowup
     for j in positions:
         px, py = _domain_point_qm31(dom_log, int(j))
-        if log_blowup:
-            got = _jit_eval_extended(log_n, log_blowup, mk)(
-                coeffs, jnp.asarray(px), jnp.asarray(py)
-            )
-        else:
-            got = _jit_eval_at_point(C, log_n, mk)(
-                coeffs, jnp.asarray(px), jnp.asarray(py)
-            )
+        got = _jit_eval_at_point(C, log_n, mk)(
+            coeffs, jnp.asarray(px), jnp.asarray(py)
+        )
         got = np.asarray(got, dtype=np.uint32)
         want_m31 = np.asarray(expect_cols[:, int(j)], dtype=np.uint32)
         want = np.zeros((C, 4), dtype=np.uint32)

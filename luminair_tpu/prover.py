@@ -93,12 +93,15 @@ def prove(pie: LuminairPie, settings, config: Optional[PcsConfig] = None) -> Lum
             padded_by_comp[c.name] = padded
             main_cols.extend(padded[n] for n in c.MAIN)
         pcs.commit(main_cols)
+        # The tree holds its own coeffs/evals; drop the raw column refs so
+        # HBM frees as soon as phase 2 consumes them (the flagship PINN sits
+        # within ~1 GB of the chip's capacity -- every dead ref matters).
+        main_cols = None
 
     # ---- phase 2: interaction ------------------------------------------
     with timer.span("phase2_interaction"):
         elems = layout.draw_elements(channel)
         inter_cols: List[np.ndarray] = []
-        inter_qm31_by_comp: Dict[str, List[np.ndarray]] = {}
         sums: Dict[str, np.ndarray] = {}
         for c in layout.components:
             if device:
@@ -110,7 +113,7 @@ def prove(pie: LuminairPie, settings, config: Optional[PcsConfig] = None) -> Lum
                 wev = WitnessEval(padded_by_comp[c.name], pp_by_id)
                 c.evaluate(wev, elems)
                 cols_q, claimed = wev.build_interaction()
-            inter_qm31_by_comp[c.name] = cols_q
+            # (cols_q feeds only this phase; nothing reads it afterwards)
             sums[c.name] = claimed
             for q in cols_q:
                 for k in range(4):
@@ -132,6 +135,11 @@ def prove(pie: LuminairPie, settings, config: Optional[PcsConfig] = None) -> Lum
         interaction_claim = LuminairInteractionClaim(sums)
         interaction_claim.mix_into(channel)
         pcs.commit(inter_cols)
+        # Free phase-2 working sets: the interaction tree owns its columns
+        # now, and phase 3 reads committed evals, not raw trace columns.
+        inter_cols = None
+        padded_by_comp = None
+        pp_by_id = None
 
     # ---- phase 3a: composition poly ------------------------------------
     with timer.span("phase3a_composition"):

@@ -103,3 +103,28 @@ def test_ifft_t_qualifies(qualify_env):
     np.testing.assert_array_equal(
         np.asarray(coeffs), fft.ifft(np.ascontiguousarray(q.T))
     )
+
+
+def test_embedding_free_eval_identity():
+    """The LDE evals spot check evaluates the SMALL coeff vector at
+    big-domain points: with zero-stride embedding the basis-factor lists
+    coincide, so no embedded array is ever materialized (the embedded
+    variant OOMed at flagship scale)."""
+    from luminair_tpu import circle
+    from luminair_tpu.fields import qm31
+
+    rng = np.random.default_rng(4)
+    for log, B in ((6, 1), (5, 2)):
+        C, n = 3, 1 << log
+        coeffs = rng.integers(0, int(m31.P), size=(C, n), dtype=np.uint32)
+        vals = fft.extend_coeffs_and_fft(coeffs, B)
+        xs, ys = circle.domain_points(log + B)
+        for j in (0, 3, (n << B) - 1):
+            pt = (
+                np.asarray(qm31.from_ints(int(xs[j])), dtype=np.uint32),
+                np.asarray(qm31.from_ints(int(ys[j])), dtype=np.uint32),
+            )
+            got = np.asarray(fft.eval_at_point(coeffs, pt))
+            want = np.zeros((C, 4), dtype=np.uint32)
+            want[:, 0] = vals[:, j]
+            np.testing.assert_array_equal(got, want)
