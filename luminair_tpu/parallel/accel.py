@@ -186,21 +186,29 @@ def self_check_fft(device_ifft=None, force: bool = False, log_n: int = 22) -> bo
 # measured [2^24, 2^25)-total window plus at least one shape outside it),
 # and the corruption is silent until end-to-end verification fails after a
 # multi-minute prove.  Canary shapes can't enumerate an unknown class, so
-# every production FFT program qualifies ITSELF on its first real input:
-# a separate checker program (built with the OPPOSITE layout for program
-# independence) asserts the transform's defining identities on device --
+# every production FFT program qualifies ITSELF on its first real input.
 #
-#   lde:    fft_n(coeffs) == inputs  AND  ifft_{n+B}(evals) == embed(coeffs)
-#   ifft_t: fft_n(coeffs) == inputs^T
-#   fft:    ifft_n(values) == coeffs
+# v3 procedure (per kind:shape, verdict persisted on disk):
 #
-# -- downloading one scalar.  A failing mode falls back (transposed ->
-# natural -> host numpy), and the verdict persists on disk, so the check
-# runs once per (kind, shape, backend) per machine.  A checker would have
-# to miscompile in a way that exactly cancels the production corruption to
-# false-pass -- two independent programs, implausible; end-to-end
-# verification remains the backstop.  Overhead: one extra compile + run on
-# the first use of each shape; zero afterwards.
+#   1. Run the production (transposed-layout) program on the REAL input,
+#      then recompute the SAME transform with the natural layout in an
+#      independent checker program and compare EVERY element on device,
+#      downloading one scalar (mismatch count) + the first contested
+#      position.  Equal -> transposed trusted.  (v2 sampled 4 positions
+#      through a point evaluator; a batch-256 flagship corruption confined
+#      to a thin slice of positions sailed through -- round-4 VERDICT.)
+#   2. On disagreement, one layout is wrong.  Re-run with the natural
+#      layout and arbitrate with the point evaluator (a halving fold,
+#      structurally unlike either FFT butterfly) at spot positions PLUS
+#      the contested position from step 1 -- the disputed value itself is
+#      checked.  Natural agrees -> natural trusted.
+#   3. Neither validates -> host numpy (correct, slow).
+#
+# A false PASS now needs the transposed and natural programs -- different
+# layouts, different XLA programs -- to miscompile IDENTICALLY on the same
+# input; the end-of-prove OODS self-check (prover.py) remains the backstop
+# for that implausible case.  Overhead: one extra compile + run on the
+# first use of each shape; zero afterwards (disk-persisted verdict).
 # ---------------------------------------------------------------------------
 
 _FFT_MODES: Dict[str, object] = {}
@@ -252,8 +260,12 @@ def _validate_fft_programs() -> bool:
 
 
 # Bump when the validation procedure changes: stale verdicts from an
-# earlier checker generation must not steer mode selection.
-_MODES_SCHEMA = "v2"
+# earlier checker generation must not steer mode selection.  v3: dense
+# opposite-layout comparison (v2's spot sampling passed a batch-256
+# flagship program whose corruption hit a thin slice of positions --
+# round-4 VERDICT weak #1; sampling cannot qualify a miscompile class
+# that is not statically enumerable).
+_MODES_SCHEMA = "v3"
 
 
 def _mode_key(kind: str, shape_sig: str) -> str:
@@ -264,6 +276,31 @@ def _mode_key(kind: str, shape_sig: str) -> str:
     return f"{_MODES_SCHEMA}:{jax.default_backend()}:{kind}:{shape_sig}:sm{fft._SMALL_M}"
 
 
+# Heal-ladder override (prover.py end-of-prove self-check): "natural"
+# forces every device FFT onto the natural layout, bypassing persisted
+# verdicts; None restores normal qualification.
+_FORCE_FFT_MODE = None
+
+
+def force_fft_mode(mode) -> None:
+    assert mode in (None, "natural")
+    global _FORCE_FFT_MODE
+    _FORCE_FFT_MODE = mode
+
+
+def distrust_fft_modes() -> None:
+    """Purge persisted FFT verdicts for the current backend + schema: they
+    let a corrupt program through (end-of-prove self-check failed), so the
+    next use must re-qualify from scratch."""
+    import jax
+
+    _modes_load()
+    pref = f"{_MODES_SCHEMA}:{jax.default_backend()}:"
+    for k in [k for k in _FFT_MODES if k.startswith(pref)]:
+        del _FFT_MODES[k]
+    _modes_save()
+
+
 def fft_mode_for(kind: str, shape_sig: str):
     """Resolved small_m mode for a production FFT program: the persisted
     verdict, else the global default (validated at first use).  Shared by
@@ -271,6 +308,8 @@ def fft_mode_for(kind: str, shape_sig: str):
     executables."""
     from .. import fft
 
+    if _FORCE_FFT_MODE == "natural":
+        return 0
     _modes_load()
     if not _validate_fft_programs():
         return fft._SMALL_M
@@ -282,11 +321,11 @@ def _record_mode(kind: str, shape_sig: str, mode) -> None:
     _modes_save()
 
 
-# Spot positions per validation check.  Deterministic per shape; a
-# miscompile corrupting >= a few percent of positions (every observed one
-# corrupts 70-100%) is caught with overwhelming probability; end-to-end
-# proof verification remains the backstop for anything subtler.
-_CHECK_SPOTS = 4
+# Spot positions for the ARBITER check (step 2 above) -- only reached when
+# the two layouts already disagree, and always augmented with the actual
+# contested positions, so sparsity is not a soundness hole here (step 1 is
+# dense).
+_CHECK_SPOTS = 8
 
 
 def _spot_positions(n: int, count: int, seed: int) -> "np.ndarray":
@@ -336,29 +375,150 @@ def _spot_eval_mismatch(coeffs, log_n: int, expect_cols, positions,
     return bad
 
 
-def _qualify(kind: str, shape_sig: str, candidates, run_prod, run_check,
-             host_fallback):
-    """Try production modes in order on the REAL input, validating each
-    with its checker; record and return the first that passes.  All modes
-    failing -> host numpy (correct, slow), also recorded."""
+def _bad_stats(got, want, xp):
+    """(mismatch count, first contested last-axis position, any) -- the
+    reductions fuse into the checker program; only scalars come back."""
+    bad = xp.any(got != want, axis=tuple(range(got.ndim - 1)))
+    return (
+        xp.sum((got != want).astype(xp.int32)),
+        xp.argmax(bad),
+        xp.any(bad),
+    )
+
+
+@lru_cache(maxsize=None)
+def _jit_lde_check(log_n: int, log_blowup: int, mk=None):
+    """Natural-layout recompute of the whole LDE + dense comparison against
+    the production outputs.  Mirrors _jit_lde exactly, with small_m=0."""
+    import jax
+    import jax.numpy as jnp
+
+    from .. import circle, fft
+
+    tw_inv = [jnp.asarray(t) for t in circle.ifft_twiddles(log_n)] if log_n else []
+    tw_big = [jnp.asarray(t) for t in circle.fft_twiddles(log_n + log_blowup)]
+
+    @jax.jit
+    def run(cols, coeffs, evals):
+        cols = _shard_dim(cols, mk, 0)
+        c2 = fft.ifft(cols, tw_inv, small_m=0)
+        n = cols.shape[-1]
+        if log_blowup == 1 and n > 1:
+            big = jnp.stack([c2, c2], axis=-1).reshape(cols.shape[:-1] + (n << 1,))
+            e2 = fft.fft(big, tw_big, m_start=4, small_m=0)
+        else:
+            lanes = [c2] + [jnp.zeros_like(c2) for _ in range((1 << log_blowup) - 1)]
+            big = jnp.stack(lanes, axis=-1).reshape(
+                cols.shape[:-1] + (n << log_blowup,)
+            )
+            e2 = fft.fft(big, tw_big, small_m=0)
+        nc, jc, anyc = _bad_stats(coeffs, c2, jnp)
+        ne, je, anye = _bad_stats(evals, e2, jnp)
+        return nc + ne, jc, anyc, je, anye
+
+    return run
+
+
+@lru_cache(maxsize=None)
+def _jit_ifft_t_check(log_n: int, mk=None):
+    import jax
+    import jax.numpy as jnp
+
+    from .. import circle, fft
+
+    tw_inv = [jnp.asarray(t) for t in circle.ifft_twiddles(log_n)]
+
+    @jax.jit
+    def run(q, coeffs):
+        qT = _shard_dim(jnp.transpose(q), mk, 0)
+        c2 = fft.ifft(qT, tw_inv, small_m=0)
+        return _bad_stats(coeffs, c2, jnp)
+
+    return run
+
+
+@lru_cache(maxsize=None)
+def _jit_fft_check(log_n: int, mk=None):
+    import jax
+    import jax.numpy as jnp
+
+    from .. import circle, fft
+
+    tw = [jnp.asarray(t) for t in circle.fft_twiddles(log_n)]
+
+    @jax.jit
+    def run(coeffs, vals):
+        c = _shard_dim(coeffs, mk, 0)
+        v2 = fft.fft(c, tw, small_m=0)
+        return _bad_stats(vals, v2, jnp)
+
+    return run
+
+
+def _transposed_active(log_n: int, log_blowup: int = 0) -> bool:
+    """Does the transposed small-m layout actually engage for a transform
+    on D_{log_n} (with an optional forward transform on D_{log_n+B})?  If
+    not, the 'transposed' and 'natural' programs are the same executable
+    and a dense comparison between them is vacuous -- such shapes go
+    straight to the arbiter."""
+    from .. import fft
+
+    sm = fft._SMALL_M
+    return sm > 0 and (1 << (log_n + log_blowup)) >= 2 * sm
+
+
+def _qualify(kind: str, shape_sig: str, run_prod, run_dense, run_arbiter,
+             host_fallback, dense_applicable: bool):
+    """v3 first-use qualification (see the block comment above).
+
+    run_prod(sm) -> production output for layout mode sm.
+    run_dense(out) -> (n_bad, contested) vs the opposite-layout recompute
+        -- EVERY element compared on device; `contested` is an opaque
+        record of disagreeing positions handed to the arbiter.
+    run_arbiter(out, contested) -> mismatch count of the point-evaluator
+        check at spot + contested positions.
+    """
     import warnings
 
-    for sm in candidates:
-        out = run_prod(sm)
+    from .. import fft
+
+    sm_t = fft._SMALL_M
+    contested = None
+    if dense_applicable and sm_t != 0:
+        out = run_prod(sm_t)
         try:
-            bad = int(run_check(sm, out))
+            bad, contested = run_dense(out)
+            bad = int(bad)
         except Exception as e:  # checker itself failed to build/run
-            warnings.warn(f"FFT checker unavailable for {kind}:{shape_sig} ({e}); "
-                          "accepting unvalidated result")
-            _record_mode(kind, shape_sig, sm)
+            warnings.warn(
+                f"FFT dense checker unavailable for {kind}:{shape_sig} ({e}); "
+                "accepting unvalidated result"
+            )
+            _record_mode(kind, shape_sig, sm_t)
             return out
         if bad == 0:
-            _record_mode(kind, shape_sig, sm)
+            _record_mode(kind, shape_sig, sm_t)
             return out
         warnings.warn(
-            f"device FFT program {kind}:{shape_sig} (small_m={sm}) failed its "
-            f"round-trip identity on {bad} positions; trying the next mode"
+            f"device FFT program {kind}:{shape_sig} (small_m={sm_t}) "
+            f"disagrees with its natural-layout recompute at {bad} "
+            "positions; arbitrating the natural layout"
         )
+    # Natural candidate, validated by the point evaluator at spot
+    # positions + the contested positions (if any).
+    out = run_prod(0)
+    try:
+        bad = int(run_arbiter(out, contested))
+    except Exception as e:  # pragma: no cover - only on broken backends
+        warnings.warn(
+            f"FFT arbiter unavailable for {kind}:{shape_sig} ({e}); "
+            "accepting unvalidated natural-layout result"
+        )
+        _record_mode(kind, shape_sig, 0)
+        return out
+    if bad == 0:
+        _record_mode(kind, shape_sig, 0)
+        return out
     warnings.warn(
         f"no device FFT mode validates for {kind}:{shape_sig}; computing this "
         "shape on the host (correct, slow)"
@@ -580,17 +740,33 @@ def lde_columns(cols, log_blowup: int):
     def run_prod(sm):
         return _jit_lde(log_n, log_blowup, mk, sm)(dev)
 
-    def run_check(sm, out):
+    def run_dense(out):
+        import jax
+
+        coeffs, evals = out
+        nb, jc, anyc, je, anye = jax.device_get(
+            _jit_lde_check(log_n, log_blowup, mk)(dev, coeffs, evals)
+        )
+        return int(nb), {
+            "small": [int(jc)] if bool(anyc) else [],
+            "big": [int(je)] if bool(anye) else [],
+        }
+
+    def run_arbiter(out, contested):
         coeffs, evals = out
         seed = (C << 8) ^ log_n ^ (log_blowup << 5)
+        pos_small = list(_spot_positions(1 << log_n, _CHECK_SPOTS, seed))
+        pos_big = list(
+            _spot_positions(1 << (log_n + log_blowup), _CHECK_SPOTS, ~seed)
+        )
+        if contested:
+            pos_small += contested["small"]
+            pos_big += contested["big"]
         bad = _spot_eval_mismatch(
-            coeffs, log_n, dev,
-            _spot_positions(1 << log_n, _CHECK_SPOTS, seed), 0, mk,
+            coeffs, log_n, dev, np.unique(pos_small), 0, mk
         )
         bad += _spot_eval_mismatch(
-            coeffs, log_n, evals,
-            _spot_positions(1 << (log_n + log_blowup), _CHECK_SPOTS, ~seed),
-            log_blowup, mk,
+            coeffs, log_n, evals, np.unique(pos_big), log_blowup, mk
         )
         return bad
 
@@ -600,8 +776,8 @@ def lde_columns(cols, log_blowup: int):
         evals = fft.extend_coeffs_and_fft(coeffs, log_blowup)
         return device_put(coeffs), device_put(evals)
 
-    return _qualify("lde", sig, (fft._SMALL_M, 0), run_prod, run_check,
-                    host_fallback)
+    return _qualify("lde", sig, run_prod, run_dense, run_arbiter,
+                    host_fallback, _transposed_active(log_n, log_blowup))
 
 
 # ---------------------------------------------------------------------------
@@ -967,20 +1143,28 @@ def ifft_t(q):
     def run_prod(sm):
         return _jit_ifft_t(log_n, mk, sm)(dev)
 
-    def run_check(sm, out):
+    def run_dense(out):
+        import jax
+
+        nb, j, anyb = jax.device_get(_jit_ifft_t_check(log_n, mk)(dev, out))
+        return int(nb), [int(j)] if bool(anyb) else []
+
+    def run_arbiter(out, contested):
         import jax.numpy as jnp
 
+        pos = list(_spot_positions(1 << log_n, _CHECK_SPOTS, log_n))
+        if contested:
+            pos += contested
         return _spot_eval_mismatch(
-            out, log_n, jnp.transpose(dev),
-            _spot_positions(1 << log_n, _CHECK_SPOTS, log_n), 0, mk,
+            out, log_n, jnp.transpose(dev), np.unique(pos), 0, mk
         )
 
     def host_fallback():
         host = np.asarray(q)
         return device_put(fft.ifft(np.ascontiguousarray(host.T)))
 
-    return _qualify("ifft_t", sig, (fft._SMALL_M, 0), run_prod, run_check,
-                    host_fallback)
+    return _qualify("ifft_t", sig, run_prod, run_dense, run_arbiter,
+                    host_fallback, _transposed_active(log_n))
 
 
 # ---------------------------------------------------------------------------
@@ -1378,18 +1562,24 @@ def fft_eval(coeffs):
     def run_prod(sm):
         return _jit_fft(log_n, mk, sm)(dev)
 
-    def run_check(sm, out):
+    def run_dense(out):
+        import jax
+
+        nb, j, anyb = jax.device_get(_jit_fft_check(log_n, mk)(dev, out))
+        return int(nb), [int(j)] if bool(anyb) else []
+
+    def run_arbiter(out, contested):
         # vals[:, j] must equal the point evaluation of coeffs at p_j.
-        return _spot_eval_mismatch(
-            dev, log_n, out,
-            _spot_positions(1 << log_n, _CHECK_SPOTS, 0x5A ^ log_n), 0, mk,
-        )
+        pos = list(_spot_positions(1 << log_n, _CHECK_SPOTS, 0x5A ^ log_n))
+        if contested:
+            pos += contested
+        return _spot_eval_mismatch(dev, log_n, out, np.unique(pos), 0, mk)
 
     def host_fallback():
         return device_put(fft.fft(np.asarray(coeffs)))
 
-    return _qualify("fft", sig, (fft._SMALL_M, 0), run_prod, run_check,
-                    host_fallback)
+    return _qualify("fft", sig, run_prod, run_dense, run_arbiter,
+                    host_fallback, _transposed_active(log_n))
 
 
 # ---------------------------------------------------------------------------

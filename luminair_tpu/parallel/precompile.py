@@ -115,7 +115,14 @@ def plan(layout, claim, config) -> List[Job]:
             f"lde:{log}x{count}", "_jit_lde", (log, B, mk, sm),
             (_u32(count, 1 << log),),
         ))
-        # (validation spot-check programs are tiny and compile lazily)
+        if mode is None and accel._transposed_active(log, B):
+            # First use will dense-qualify: warm the checker too.
+            jobs.append(Job(
+                f"lde_check:{log}x{count}", "_jit_lde_check", (log, B, mk),
+                (_u32(count, 1 << log), _u32(count, 1 << log),
+                 _u32(count, 1 << (log + B))),
+            ))
+        # (arbiter spot-check programs are tiny and compile lazily)
 
     merkle_sigs = {
         tuple((log + B, g[log]) for log in sorted(g, reverse=True))
@@ -174,6 +181,11 @@ def plan(layout, claim, config) -> List[Job]:
             f"ifft_t:{log}", "_jit_ifft_t", (log, mk, sm),
             (_u32(1 << log, 4),),
         ))
+        if mode is None and accel._transposed_active(log):
+            jobs.append(Job(
+                f"ifft_t_check:{log}", "_jit_ifft_t_check", (log, mk),
+                (_u32(1 << log, 4), _u32(4, 1 << log)),
+            ))
 
 
     def fft_jobs(log):
@@ -186,6 +198,11 @@ def plan(layout, claim, config) -> List[Job]:
             f"fft:{log}", "_jit_fft", (log, mk, sm),
             (_u32(4, 1 << log),),
         ))
+        if mode is None and accel._transposed_active(log):
+            jobs.append(Job(
+                f"fft_check:{log}", "_jit_fft_check", (log, mk),
+                (_u32(4, 1 << log), _u32(4, 1 << log)),
+            ))
 
 
     for log in strided_logs:

@@ -31,7 +31,7 @@ from .air.claim import LuminairClaim, LuminairInteractionClaim
 from .air.layout import AirLayout, recombine_qm31
 from .air.framework import ConstraintAccumulator, DomainEval, WitnessEval
 from .air.pie import LuminairPie
-from .errors import EmptyTraceError
+from .errors import EmptyTraceError, ProverError
 
 
 @dataclass
@@ -44,6 +44,90 @@ class LuminairProof:
 
 
 def prove(pie: LuminairPie, settings, config: Optional[PcsConfig] = None) -> LuminairProof:
+    """Prove with an end-of-prove integrity gate (round-4 VERDICT #2).
+
+    After building the proof, replay the transcript and re-check the
+    composition identity at the OODS point host-side (milliseconds,
+    verifier.prover_self_check).  Per-program FFT qualification
+    (parallel/accel.py) makes silent device corruption implausible, but
+    this gate guarantees prove() can never RETURN a proof that fails that
+    identity: on mismatch it falls back -- first forcing every device FFT
+    onto the natural layout, then re-proving entirely on host numpy (the
+    bit-exact oracle) -- warning at each step.  The reference's CPU prover
+    never emits an unverifiable proof (crates/prover/src/prover.rs:28-319);
+    neither does this one."""
+    import os as _os
+    import warnings
+
+    from .parallel import accel
+
+    tables = {n: t for n, t in pie.trace_tables.items() if t.n_rows > 0}
+    device = bool(tables) and accel.offload_rows(
+        1 << max(t.log_size for t in tables.values())
+    )
+    check = _os.environ.get("LUMINAIR_PROVE_SELFCHECK", "1") != "0"
+
+    # A corrupt device program either yields a proof violating the OODS
+    # identity (the observed batch-256 mode) or trips an internal
+    # consistency assert mid-prove (e.g. the FRI last-layer degree bound);
+    # both route to the heal ladder when the device path is in play.
+    err: Optional[Exception] = None
+    try:
+        proof = _prove_once(pie, settings, config)
+    except Exception as e:
+        if not (device and check):
+            raise
+        err, proof = e, None
+    if not (device and check):
+        return proof
+    from . import tracing
+    from .verifier import prover_self_check
+
+    timer = tracing.current("prove")
+    if proof is not None:
+        with timer.span("self_check"):
+            if prover_self_check(proof, settings):
+                return proof
+
+    warnings.warn(
+        "prove() failed on the device path "
+        f"({'exception: ' + repr(err) if err else 'end-of-prove OODS self-check'}): "
+        "a device FFT program may have slipped through qualification.  "
+        "Purging persisted FFT verdicts and re-proving with every device "
+        "FFT forced onto the natural layout."
+    )
+    accel.distrust_fft_modes()
+    accel.force_fft_mode("natural")
+    try:
+        try:
+            proof = _prove_once(pie, settings, config)
+            with timer.span("self_check_retry"):
+                ok = prover_self_check(proof, settings)
+        except Exception as e:
+            err, ok = e, False
+    finally:
+        accel.force_fft_mode(None)
+    if ok:
+        return proof
+
+    warnings.warn(
+        "natural-layout re-prove ALSO failed "
+        f"({'exception: ' + repr(err) if err else 'OODS self-check'}); "
+        "re-proving entirely on host numpy (correct, slow)."
+    )
+    was_enabled = accel.enabled()
+    accel.enable(False)
+    try:
+        proof = _prove_once(pie, settings, config)
+    finally:
+        if was_enabled:
+            accel.enable(True)
+    if not prover_self_check(proof, settings):
+        raise ProverError("host prove failed its own OODS self-check")
+    return proof
+
+
+def _prove_once(pie: LuminairPie, settings, config: Optional[PcsConfig] = None) -> LuminairProof:
     from . import tracing
     from .parallel import accel
 

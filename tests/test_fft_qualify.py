@@ -68,7 +68,10 @@ def test_corrupt_mode_falls_back_and_records(qualify_env, monkeypatch):
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
         coeffs, evals = accel.lde_columns(x, 1)
-    assert any("round-trip identity" in str(w.message) for w in caught)
+    assert any(
+        "disagrees with its natural-layout recompute" in str(w.message)
+        for w in caught
+    )
     # the fallback (natural) result is correct
     np.testing.assert_array_equal(np.asarray(coeffs), fft.ifft(x))
     key = [k for k in accel._FFT_MODES if ":lde:2x2^8:B1:" in k]
@@ -94,6 +97,44 @@ def test_all_modes_corrupt_falls_back_to_host(qualify_env, monkeypatch):
     np.testing.assert_array_equal(np.asarray(vals), fft.fft(c))
     key = [k for k in accel._FFT_MODES if ":fft:4x2^8:" in k]
     assert key and accel._FFT_MODES[key[0]] == accel._HOST_MODE
+
+
+def test_dense_check_catches_thin_slice_corruption(qualify_env, monkeypatch):
+    """The round-4 flagship failure mode: corruption confined to a thin
+    slice of positions, which v2's 4-position spot sampling passed while
+    both verifiers rejected the proof.  v3 compares EVERY element against
+    the natural-layout recompute, so a single corrupt position anywhere
+    must be caught and healed."""
+    real_factory = accel._jit_lde
+
+    def factory(log_n, log_blowup, mk=None, small_m=None):
+        fn = real_factory(log_n, log_blowup, mk, small_m)
+        if small_m == fft._SMALL_M:
+            def bad(cols, _fn=fn):
+                import jax.numpy as jnp
+
+                coeffs, evals = _fn(cols)
+                # exactly ONE corrupt element, in one column
+                evals = jnp.asarray(evals).at[1, 137].set(evals[1, 137] ^ 1)
+                return coeffs, evals
+            return bad
+        return fn
+
+    monkeypatch.setattr(accel, "_jit_lde", factory)
+    x = _rand(2, 8)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        coeffs, evals = accel.lde_columns(x, 1)
+    assert any(
+        "disagrees with its natural-layout recompute" in str(w.message)
+        for w in caught
+    )
+    np.testing.assert_array_equal(np.asarray(coeffs), fft.ifft(x))
+    np.testing.assert_array_equal(
+        np.asarray(evals), fft.extend_coeffs_and_fft(fft.ifft(x), 1)
+    )
+    key = [k for k in accel._FFT_MODES if ":lde:2x2^8:B1:" in k]
+    assert key and accel._FFT_MODES[key[0]] == 0
 
 
 def test_ifft_t_qualifies(qualify_env):
