@@ -122,6 +122,11 @@ def main():
                 "unit": "trace-cells/s/chip",
                 "vs_baseline": round(host_s / tpu_s, 3),
                 "detail": {
+                    # vs_baseline is the TPU/host-numpy ratio of THIS repo's
+                    # own prover (no Rust toolchain in this image to run the
+                    # reference's criterion suite -- BASELINE.md "Status of
+                    # the external anchor").
+                    "vs_baseline_kind": "self_host_numpy",
                     "tpu_prove_s": round(tpu_s, 3),
                     "host_prove_s": round(host_s, 3),
                     "gen_trace_device_s": round(trace_s, 3),

@@ -387,7 +387,27 @@ def execute(graph: Graph):
     _run(graph, record_trace=False, settings=None, collect_ranges=False)
 
 
-def _auto_device(graph: Graph) -> bool:
+def _auto_device(graph: Graph, env_flag: str) -> bool:
+    """Host-vs-device decision for the pre-passes, set from measurement
+    (round-4 VERDICT directive #5).  Measured on the tunneled TPU v5e,
+    black-scholes PINN (docs/tpu.md "Pre-pass placement"):
+
+        settings  host 1.26 s (batch 256) / 4.5 s (batch 1024)
+                  device 66-254 s (segment-compile-bound, erratic)
+        trace-gen host 2.6 s + ~0.3 s column upload (batch 256)
+                  device 12.3 s  (and 1.125 s vs 0.03 s on the N=256 bench)
+
+    The device interpreter's compile cost scales with GRAPH SIZE while the
+    host interpreter's run cost scales with data -- and even at 152 M cells
+    (batch 1024: host 6.3 s) the host pass is far below one device segment
+    compile.  So both passes default to HOST; the device interpreters stay
+    available via ``device=True`` or the env flags
+    LUMINAIR_SETTINGS_DEVICE=1 / LUMINAIR_TRACE_DEVICE=1 (benchmarks and
+    bit-exactness tests exercise them explicitly)."""
+    import os
+
+    if os.environ.get(env_flag) != "1":
+        return False
     from ..parallel import accel
 
     if not accel.enabled():
@@ -406,7 +426,7 @@ def gen_circuit_settings(graph: Graph, device: Optional[bool] = None) -> Circuit
     if not graph.compiled:
         graph.compile()
     if device is None:
-        device = _auto_device(graph)
+        device = _auto_device(graph, "LUMINAIR_SETTINGS_DEVICE")
     if device:
         from . import device_trace
 
@@ -435,7 +455,7 @@ def gen_trace(graph: Graph, settings: CircuitSettings, device: Optional[bool] = 
     if not graph.compiled:
         graph.compile()
     if device is None:
-        device = _auto_device(graph)
+        device = _auto_device(graph, "LUMINAIR_TRACE_DEVICE")
     if device:
         from . import device_trace
 

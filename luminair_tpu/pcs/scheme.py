@@ -145,6 +145,12 @@ class CommitmentSchemeProver:
             for members, evs in pending:
                 for (t, c, pi), v in zip(members, evs):
                     values[(t, c, pi)] = np.asarray(v, dtype=np.uint32)
+        # Coefficients exist only to serve the OODS evaluations above;
+        # free them now so the DEEP-quotient phase (which stacks every
+        # commit-log group) starts with a full tree-size of HBM headroom
+        # (the batch-1024 flagship peak -- docs/tpu.md "HBM budget").
+        for tree in self.trees:
+            tree.coeffs = None
 
         sampled_values = []
         samples: List[ColumnSample] = []
