@@ -127,6 +127,26 @@ def _small_stages_ifft(a, twiddles_inv, stage, m, n_blocks, xp, sm=None):
     return xp.swapaxes(at, -1, -2).reshape(a.shape[:-1] + (n,))
 
 
+def _transposed_fft_loop(at, twiddles, M0, nb0, m, stage, xp, lead_shape):
+    """The transposed-layout forward stage loop shared by _small_stages_fft
+    and fft_dup2.  at: (..., M0, nb0).  Returns the natural-layout array
+    (..., n) plus (m, n_blocks, stage) for the natural continuation."""
+    n = M0 * nb0
+    while m <= M0:
+        t = twiddles[stage][:, None]  # (m/2, 1)
+        blocks = at.reshape(at.shape[:-2] + (M0 // m, m, nb0))
+        e = blocks[..., : m // 2, :]
+        o = blocks[..., m // 2 :, :]
+        to = m31.mul(t, o)
+        v0 = m31.add(e, to)
+        v1 = m31.sub(e, to)[..., ::-1, :]
+        at = xp.concatenate([v0, v1], axis=-2).reshape(at.shape[:-2] + (M0, nb0))
+        m *= 2
+        stage -= 1
+    a = xp.swapaxes(at, -1, -2).reshape(lead_shape + (n,))
+    return a, m, n // m, stage
+
+
 def _small_stages_fft(a, twiddles, log_n, xp, m_start=2, sm=None):
     """Run forward-FFT line stages for m < the small-m threshold in
     transposed layout.  Returns (a, m, n_blocks, stage) ready for the
@@ -139,21 +159,90 @@ def _small_stages_fft(a, twiddles, log_n, xp, m_start=2, sm=None):
         return a, m_start, n // m_start, log_n - m_start.bit_length() + 1
     nb0 = n // M0
     at = xp.swapaxes(a.reshape(a.shape[:-1] + (nb0, M0)), -1, -2)
-    m = m_start
     stage = log_n - m_start.bit_length() + 1
-    while m <= M0:
-        t = twiddles[stage][:, None]  # (m/2, 1)
-        blocks = at.reshape(at.shape[:-2] + (M0 // m, m, nb0))
-        e = blocks[..., : m // 2, :]
-        o = blocks[..., m // 2 :, :]
+    return _transposed_fft_loop(at, twiddles, M0, nb0, m_start, stage, xp,
+                                a.shape[:-1])
+
+
+def fft_dup2(coeffs, twiddles=None, small_m=None):
+    """Forward FFT of the blowup-1 zero-embedding of `coeffs` -- the
+    duplicate-interleave [c0, c0, c1, c1, ...] -- WITHOUT materializing the
+    interleave.
+
+    On the TPU the (..., N, 2) stack+reshape materialization is
+    tile-padded 4.3x by XLA (measured: two 8 GB HLO temps for a
+    (30, 2^23) -> 2^24 LDE -- the batch-1024 flagship OOM), so when the
+    transposed small-m layout is active we build its starting array
+    directly from `coeffs`:
+
+      interleave(c)[j*M0 + i] = c[j*(M0/2) + (i >> 1)]
+      => at[i, j] = crt[i >> 1, j]  with crt = swapaxes(c.reshape(nb0, M0/2))
+      => at = repeat(crt, 2, axis=-2)   (minor dim stays the large nb0)
+
+    and run the shared transposed stage loop from m=4 (the m=2 stage on an
+    interleaved array is the identity that the duplicate already encodes).
+    Equivalent to fft(interleave, m_start=4) bit-for-bit (tests/test_fft)."""
+    xp = _xp(coeffs)
+    n = coeffs.shape[-1]
+    n2 = n * 2
+    log_n2 = n2.bit_length() - 1
+    sm = _SMALL_M if small_m is None else small_m
+    if (
+        xp is not np
+        and coeffs.ndim >= 2
+        and _BAD_LO <= coeffs.size * 2 < _BAD_HI
+    ):
+        # Conceptual transform total lands in the miscompile window: split
+        # the batch exactly as fft() would split the materialized array.
+        if coeffs.shape[0] == 1:
+            padded = xp.concatenate([coeffs, xp.zeros_like(coeffs)], axis=0)
+            return fft_dup2(padded, twiddles, small_m=sm)[:1]
+        h = coeffs.shape[0] // 2
+        return xp.concatenate(
+            [
+                fft_dup2(coeffs[:h], twiddles, small_m=sm),
+                fft_dup2(coeffs[h:], twiddles, small_m=sm),
+            ],
+            axis=0,
+        )
+    if twiddles is None:
+        twiddles = circle.fft_twiddles(log_n2)
+    M0 = min(sm // 2, n2 // 2) if sm > 0 else 0
+    if xp is not np and sm > 0 and n2 >= 2 * sm and M0 >= 4:
+        nb0 = n2 // M0
+        crt = xp.swapaxes(
+            coeffs.reshape(coeffs.shape[:-1] + (nb0, M0 // 2)), -1, -2
+        )
+        at = xp.repeat(crt, 2, axis=-2)  # (..., M0, nb0)
+        stage = log_n2 - 2  # m = 4
+        a, m, n_blocks, stage = _transposed_fft_loop(
+            at, twiddles, M0, nb0, 4, stage, xp, coeffs.shape[:-1]
+        )
+    else:
+        a = xp.stack([coeffs, coeffs], axis=-1).reshape(
+            coeffs.shape[:-1] + (n2,)
+        )
+        m, n_blocks, stage = 4, n2 // 4, log_n2 - 2
+    # Natural-layout continuation + circle stage (same as fft()).
+    while m <= n2 // 2:
+        t = twiddles[stage]
+        blocks = a.reshape(a.shape[:-1] + (n_blocks, m))
+        e = blocks[..., : m // 2]
+        o = blocks[..., m // 2 :]
         to = m31.mul(t, o)
         v0 = m31.add(e, to)
-        v1 = m31.sub(e, to)[..., ::-1, :]
-        at = xp.concatenate([v0, v1], axis=-2).reshape(at.shape[:-2] + (M0, nb0))
+        v1 = m31.sub(e, to)[..., ::-1]
+        a = xp.concatenate([v0, v1], axis=-1).reshape(a.shape[:-1] + (n2,))
         m *= 2
+        n_blocks //= 2
         stage -= 1
-    a = xp.swapaxes(at, -1, -2).reshape(a.shape[:-1] + (n,))
-    return a, m, n // m, stage
+    t = twiddles[0]
+    e = a[..., : n2 // 2]
+    o = a[..., n2 // 2 :]
+    to = m31.mul(t, o)
+    v0 = m31.add(e, to)
+    v1 = m31.sub(e, to)[..., ::-1]
+    return xp.concatenate([v0, v1], axis=-1)
 
 
 def ifft(values, twiddles_inv=None, small_m=None):

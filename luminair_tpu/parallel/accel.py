@@ -404,8 +404,7 @@ def _jit_lde_check(log_n: int, log_blowup: int, mk=None):
         c2 = fft.ifft(cols, tw_inv, small_m=0)
         n = cols.shape[-1]
         if log_blowup == 1 and n > 1:
-            big = jnp.stack([c2, c2], axis=-1).reshape(cols.shape[:-1] + (n << 1,))
-            e2 = fft.fft(big, tw_big, m_start=4, small_m=0)
+            e2 = fft.fft_dup2(c2, tw_big, small_m=0)
         else:
             lanes = [c2] + [jnp.zeros_like(c2) for _ in range((1 << log_blowup) - 1)]
             big = jnp.stack(lanes, axis=-1).reshape(
@@ -687,13 +686,12 @@ def _jit_lde(log_n: int, log_blowup: int, mk=None, small_m=None):
         # partitioner all-gathers scatter operands (rematerializing every
         # column on every chip), and scatter is slow on TPU regardless.
         if log_blowup == 1 and n > 1:
-            # Blowup-1 shortcut (mirrors fft.extend_coeffs_and_fft): the
-            # zero-interleaved m=2 stage maps [c, 0] -> [c, c], so emit
-            # the duplicate directly and skip that stage entirely.
-            big = jnp.stack([coeffs, coeffs], axis=-1).reshape(
-                cols.shape[:-1] + (n << 1,)
-            )
-            evals = fft.fft(big, tw_big, m_start=4, small_m=small_m)
+            # Blowup-1 shortcut: the zero-interleaved m=2 stage maps
+            # [c, 0] -> [c, c]; fft_dup2 feeds that duplicate straight
+            # into the transposed stage layout without materializing the
+            # (..., n, 2) interleave (tile-padded 4.3x by XLA -- the
+            # batch-1024 flagship OOM, two 8 GB HLO temps).
+            evals = fft.fft_dup2(coeffs, tw_big, small_m=small_m)
         else:
             lanes = [coeffs] + [
                 jnp.zeros_like(coeffs) for _ in range((1 << log_blowup) - 1)
@@ -744,13 +742,28 @@ def lde_columns(cols, log_blowup: int):
         import jax
 
         coeffs, evals = out
-        nb, jc, anyc, je, anye = jax.device_get(
-            _jit_lde_check(log_n, log_blowup, mk)(dev, coeffs, evals)
-        )
-        return int(nb), {
-            "small": [int(jc)] if bool(anyc) else [],
-            "big": [int(je)] if bool(anye) else [],
-        }
+        # The natural-layout recompute inside the checker tile-pads its
+        # small-m stage temps up to 4.3x (measured 16 GB program HBM for a
+        # whole (30, 2^23) group): chunk the group's columns so each
+        # checker call stays small.  Columns transform independently, so
+        # chunked natural recomputes cover exactly the same elements; the
+        # per-chunk scalar downloads are a one-time cost per shape.
+        cap = 1 << 23  # elements per chunk (pre-blowup)
+        step = C if mk is not None else max(1, min(C, cap >> log_n))
+        total, contested = 0, {"small": [], "big": []}
+        for s in range(0, C, step):
+            e = min(C, s + step)
+            nb, jc, anyc, je, anye = jax.device_get(
+                _jit_lde_check(log_n, log_blowup, mk)(
+                    dev[s:e], coeffs[s:e], evals[s:e]
+                )
+            )
+            total += int(nb)
+            if bool(anyc) and not contested["small"]:
+                contested["small"].append(int(jc))
+            if bool(anye) and not contested["big"]:
+                contested["big"].append(int(je))
+        return total, contested
 
     def run_arbiter(out, contested):
         coeffs, evals = out

@@ -89,6 +89,32 @@ def prove(pie: LuminairPie, settings, config: Optional[PcsConfig] = None) -> Lum
             if prover_self_check(proof, settings):
                 return proof
 
+    def _is_oom(e) -> bool:
+        return e is not None and (
+            "RESOURCE_EXHAUSTED" in repr(e) or "ResourceExhausted" in repr(e)
+        )
+
+    if _is_oom(err):
+        # Not a correctness failure: the proof doesn't fit this chip's HBM.
+        # The natural layout needs MORE memory (tile padding), so skip that
+        # rung, keep the (valid) persisted verdicts, and go straight to the
+        # host prover.  Multi-chip: shard over a mesh (docs/tpu.md).
+        warnings.warn(
+            f"device prove ran out of HBM ({err!r}); re-proving on host "
+            "numpy (correct, slow).  For this proof size on-device, shard "
+            "over a device mesh (parallel/sharding.py) or raise blowup."
+        )
+        was_enabled = accel.enabled()
+        accel.enable(False)
+        try:
+            proof = _prove_once(pie, settings, config)
+        finally:
+            if was_enabled:
+                accel.enable(True)
+        if not prover_self_check(proof, settings):
+            raise ProverError("host prove failed its own OODS self-check")
+        return proof
+
     warnings.warn(
         "prove() failed on the device path "
         f"({'exception: ' + repr(err) if err else 'end-of-prove OODS self-check'}): "

@@ -234,3 +234,47 @@ class TestBadWindowSplit:
                 jax.jit(lambda c: fft.extend_coeffs_and_fft(c, 1))(jnp.asarray(host_c))
             )
             assert np.array_equal(host_l, dev_l), f"lde window split wrong at {shape}"
+
+
+class TestFftDup2:
+    """fft_dup2 = forward FFT of the duplicate-interleave embedding
+    without materializing it (the (..., N, 2) stack was tile-padded 4.3x
+    on TPU -- two 8 GB HLO temps at batch-1024 flagship scale).  Must be
+    bit-identical to the materialized fft(interleave, m_start=4) in both
+    layouts, under jit, and through the bad-window split."""
+
+    def _interleave(self, c):
+        return np.stack([c, c], axis=-1).reshape(c.shape[:-1] + (c.shape[-1] * 2,))
+
+    def test_matches_materialized_both_layouts(self):
+        import jax
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(33)
+        for C, log in ((3, 9), (1, 10), (5, 8), (2, 7)):
+            c = rng.integers(0, int(m31.P), size=(C, 1 << log), dtype=np.uint32)
+            want = fft.fft(self._interleave(c), m_start=4)
+            # host (numpy) path
+            assert np.array_equal(np.asarray(fft.fft_dup2(c)), want)
+            # device transposed + natural layouts
+            for sm in (256, 128, 0):
+                got = np.asarray(
+                    jax.jit(lambda x, _sm=sm: fft.fft_dup2(x, small_m=_sm))(
+                        jnp.asarray(c)
+                    )
+                )
+                assert np.array_equal(got, want), f"fft_dup2 {C}x2^{log} sm={sm}"
+
+    def test_window_split(self, monkeypatch):
+        import jax
+        import jax.numpy as jnp
+
+        monkeypatch.setattr(fft, "_BAD_LO", 1 << 12)
+        monkeypatch.setattr(fft, "_BAD_HI", 1 << 13)
+        rng = np.random.default_rng(34)
+        for shape in ((4, 1 << 9), (1, 1 << 11), (3, 1 << 10)):
+            assert (1 << 12) <= shape[0] * shape[1] * 2 < (1 << 13)
+            c = rng.integers(0, int(m31.P), size=shape, dtype=np.uint32)
+            want = fft.fft(self._interleave(c), m_start=4)
+            got = np.asarray(jax.jit(fft.fft_dup2)(jnp.asarray(c)))
+            assert np.array_equal(got, want), f"fft_dup2 split wrong at {shape}"
