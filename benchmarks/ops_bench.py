@@ -104,6 +104,9 @@ def bench_op(op: str, n: int, iters: int, warmup: int):
 
     pie, t_trace = timed(lambda: gen_trace(cx, settings))
     proof, t_prove = timed(lambda: prove(pie, settings))
+    cells = sum(
+        t.n_rows * len(t.columns) for t in pie.trace_tables.values() if t.n_rows
+    )
     # The measured verifier is the NATIVE (C++) one -- the production
     # verification path, matching the reference's benched Rust verifier
     # (crates/graph/benches/ops.rs Verification groups).  Serialization is
@@ -118,6 +121,7 @@ def bench_op(op: str, n: int, iters: int, warmup: int):
         "Trace Generation": t_trace,
         "Proving": t_prove,
         "Verification": t_verify,
+        "cells": cells,
     }
 
 
@@ -154,6 +158,15 @@ def main():
                     }
                 )
                 print(f"{entries[-1]['name']:>55}: {entries[-1]['value']:10.3f} ms")
+            # BASELINE.md size-sweep metric: cells proven per second.
+            entries.append(
+                {
+                    "name": f"{op} Operator/Proving throughput ({n}x{n})",
+                    "unit": "cells/s",
+                    "value": round(times["cells"] / times["Proving"], 1),
+                }
+            )
+            print(f"{entries[-1]['name']:>55}: {entries[-1]['value']:14.1f} cells/s")
 
     if args.out:
         with open(args.out, "w") as f:

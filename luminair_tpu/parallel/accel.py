@@ -1470,6 +1470,96 @@ def _jit_fri_layer(cur_log: int, f: int, mix_mask: tuple, mk=None):
     return run
 
 
+def _fri_schedule(logs: tuple, B: int, bound: int, F: int, stop_log: int):
+    """Static committed-layer schedule [(level, folds, mix_mask)] of the
+    fold chain from kmax-1 down to stop_log (fully determined by shapes)."""
+    kmax = logs[0]
+    last_line_log = B + bound
+    line_logs = {k - 1 for k in logs}
+    schedule = []
+    cur_log = kmax - 1
+    while cur_log > stop_log:
+        f = min(F, cur_log - last_line_log)
+        mask = []
+        lvl = cur_log
+        for _t in range(f):
+            lvl -= 1
+            mask.append(lvl in line_logs and lvl != kmax - 1)
+        schedule.append((cur_log, f, tuple(mask)))
+        cur_log -= f
+    return schedule
+
+
+# Fuse the ENTIRE commit chain (alpha0 draw + circle folds + every
+# committed layer) into ONE XLA program when kmax is at most this log.
+# At small proof sizes the per-layer path is dispatch-latency bound (~6
+# async launches + their tunnel overhead for a 2^17 chain); one program is
+# one launch.  Above the cap, per-layer programs keep XLA optimization
+# time linear in levels (a monolithic chain at 2^21 took tens of minutes
+# to compile) and stay shared across proof sizes.
+FRI_FUSE_MAX_LOG = int(os.environ.get("LUMINAIR_FRI_FUSE_MAX_LOG", "18"))
+
+
+@lru_cache(maxsize=None)
+def _jit_fri_chain(logs: tuple, B: int, bound: int, F: int, stop_log: int,
+                   mk=None):
+    """One program for the whole FRI commit chain (small-kmax fast path).
+    Transcript-identical to the per-layer chain: the host channel replays
+    the downloaded roots and asserts bit-equality either way."""
+    import jax
+    import jax.numpy as jnp
+
+    from .. import circle
+    from ..fields import qm31
+    from ..pcs import fri as fri_mod
+
+    kmax = logs[0]
+    schedule = _fri_schedule(logs, B, bound, F, stop_log)
+    tws = {
+        lg - t: jnp.asarray(circle.ifft_twiddles(lg - t + 1)[1])
+        for (lg, f, _m) in schedule
+        for t in range(f)
+    }
+
+    @jax.jit
+    def run(digest, counter, inputs):
+        alpha0, counter = _dev_draw_felt(digest, counter)
+        line_evals = {}
+        for k, v in zip(logs, inputs):
+            v = _shard_dim(v, mk, 0)
+            line_evals[k - 1] = _shard_dim(
+                fri_mod.fold_circle_to_line(v, k, alpha0), mk, 0
+            )
+        cur = line_evals[kmax - 1]
+        roots, alphas, trees = [], [], []
+        for (lg, f, mask) in schedule:
+            layers = _dev_tree_layers(cur, lg, mk)
+            root = layers[0][0]
+            digest = _dev_mix_root(digest, root)
+            alpha, counter = _dev_draw_felt(digest, jnp.int32(0))
+            trees.append((cur, layers))
+            roots.append(root)
+            alphas.append(alpha)
+            beta = alpha
+            for t in range(f):
+                cur = fri_mod.fold_line(cur, tws[lg - t], beta)
+                if mask[t]:
+                    beta2 = qm31.mul(beta, beta)
+                    cur = qm31.add(
+                        cur,
+                        qm31.mul(
+                            jnp.broadcast_to(beta2, cur.shape),
+                            line_evals[lg - t - 1],
+                        ),
+                    )
+                cur = _shard_dim(cur, mk, 0)
+                beta = qm31.mul(beta, beta)
+        tail = {l: v for l, v in line_evals.items() if l < stop_log}
+        return digest, counter, roots, alphas, alpha0, cur, tail, trees
+
+    return run
+
+
 def fri_commit_chain(inputs: Dict[int, "np.ndarray"], B: int, bound: int, F: int,
                      stop_log: int, digest32: bytes, counter: int):
     """Run the fold chain from level kmax-1 down to stop_log on device.
@@ -1485,6 +1575,29 @@ def fri_commit_chain(inputs: Dict[int, "np.ndarray"], B: int, bound: int, F: int
     kmax = logs[0]
     last_line_log = B + bound
     mk = mesh_key()
+
+    if kmax <= FRI_FUSE_MAX_LOG:
+        run = _jit_fri_chain(tuple(logs), B, bound, F, stop_log, mk)
+        digest_d = jnp.asarray(np.frombuffer(digest32, dtype="<u4"))
+        (digest_d, counter_d, roots_d, alphas_d, alpha0_d, cur_d, tail_d,
+         trees) = run(digest_d, jnp.int32(counter),
+                      [jnp.asarray(inputs[k]) for k in logs])
+        digest_h, counter_h, roots_h, alphas_h, alpha0_h, cur_h, tail_h = (
+            jax.device_get(
+                (digest_d, counter_d, roots_d, alphas_d, alpha0_d, cur_d,
+                 tail_d)
+            )
+        )
+        return (
+            np.asarray(digest_h, dtype="<u4").tobytes(),
+            int(counter_h),
+            [np.asarray(r) for r in roots_h],
+            [np.asarray(a) for a in alphas_h],
+            np.asarray(alpha0_h),
+            np.asarray(cur_h),
+            {int(l): np.asarray(v) for l, v in tail_h.items()},
+            trees,
+        )
 
     digest = jnp.asarray(np.frombuffer(digest32, dtype="<u4"))
     alpha0_d, counter_d = _jit_draw_felt()(digest, jnp.int32(counter))
