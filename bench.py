@@ -94,7 +94,9 @@ def main():
     assert cells_d == cells
     time_prove(pie, settings)
     pie, settings, _, trace_s = build_pie(cx, device=True)  # timed re-gen
-    proof, tpu_s, phases = time_prove(pie, settings)
+    # Best-of-3: the tunneled chip's dispatch latency jitters ~±0.1 s
+    # run-to-run (docs/benchmarks.md methodology: best-of-N per stage).
+    proof, tpu_s, phases = time_prove(pie, settings, repeats=3)
 
     # Correctness gate + verification timing: the native C++ verifier is
     # the production verifier (reference benches its Rust verifier); the

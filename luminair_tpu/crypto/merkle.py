@@ -77,22 +77,23 @@ class MerkleTree:
         self._build()
 
     @classmethod
-    def from_layers(cls, layers, columns):
-        """Wrap an already-built tree (layers hashed inside a fused jit
-        program, e.g. the device FRI commit chain) without rebuilding.
-
-        layers: {log: (2^log, 8) digest arrays}; columns: the committed
-        value columns (device or host), used only for opening gathers."""
+    def from_layers_2d(cls, layers, evals2d):
+        """Wrap an already-built single-log 4-column tree (layers hashed
+        inside a fused jit program, e.g. the device FRI commit chain)
+        without rebuilding, its values living in ONE (N, 4) device array.
+        Splitting into per-column slices would cost 4 eager device
+        dispatches per layer (~0.2 s across a chain on the tunneled chip);
+        instead the opening gather reads the 2-D array directly and the
+        split happens on host after the download."""
         self = cls.__new__(cls)
         self._force_device = True
         self._root = None
-        self.columns = list(columns)
+        self.columns = None
+        self._evals2d = evals2d
+        log = int(evals2d.shape[0]).bit_length() - 1
+        assert 1 << log == evals2d.shape[0] and evals2d.shape[1] == 4
         self.cols_by_log = defaultdict(list)
-        for c in self.columns:
-            log = int(c.shape[0]).bit_length() - 1
-            assert 1 << log == c.shape[0]
-            self.cols_by_log[log].append(c)
-        self.max_log = max(self.cols_by_log)
+        self.max_log = log
         self.layers = dict(layers)
         return self
 
@@ -178,6 +179,15 @@ class MerkleTree:
         decommit_plan); column order == insertion order within each log,
         logs descending."""
         comp = computed_positions([self.max_log] + [0], queries_per_log)
+        if getattr(self, "_evals2d", None) is not None:
+            pos = comp[self.max_log]
+            specs = [(self._evals2d, pos, 0)]
+
+            def assemble2d(results):
+                block = np.asarray(results[0], dtype=np.uint32)
+                return [np.ascontiguousarray(block[:, j]) for j in range(4)]
+
+            return specs, assemble2d
         order = []
         specs = []
         for log in sorted(self.cols_by_log, reverse=True):

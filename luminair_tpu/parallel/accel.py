@@ -748,7 +748,9 @@ def lde_columns(cols, log_blowup: int):
         # checker call stays small.  Columns transform independently, so
         # chunked natural recomputes cover exactly the same elements; the
         # per-chunk scalar downloads are a one-time cost per shape.
-        cap = 1 << 23  # elements per chunk (pre-blowup)
+        cap = 1 << 21  # elements per chunk (pre-blowup): keep checker
+        # temps small even when a full tree's coeffs+evals are resident
+        # (the b1024 phase-1 commit OOMed the 2^23-cap checker)
         step = C if mk is not None else max(1, min(C, cap >> log_n))
         total, contested = 0, {"small": [], "big": []}
         for s in range(0, C, step):
@@ -1497,7 +1499,7 @@ def _fri_schedule(logs: tuple, B: int, bound: int, F: int, stop_log: int):
 # one launch.  Above the cap, per-layer programs keep XLA optimization
 # time linear in levels (a monolithic chain at 2^21 took tens of minutes
 # to compile) and stay shared across proof sizes.
-FRI_FUSE_MAX_LOG = int(os.environ.get("LUMINAIR_FRI_FUSE_MAX_LOG", "18"))
+FRI_FUSE_MAX_LOG = int(os.environ.get("LUMINAIR_FRI_FUSE_MAX_LOG", "20"))
 
 
 @lru_cache(maxsize=None)

@@ -261,6 +261,22 @@ def plan(layout, claim, config) -> List[Job]:
     eff_bound = max(0, min(config.fri.log_last_layer_degree_bound, min_commit - 1 - B))
     last_line_log = B + eff_bound
 
+    fused_min = min(fri_mod.FUSED_MIN_ROWS, max(1, accel.OFFLOAD_MIN_ROWS))
+    stop_log = last_line_log
+    for lvl in fri_mod._chain_levels(kmax, last_line_log, F):
+        if (1 << lvl) < fused_min or lvl == last_line_log:
+            stop_log = lvl
+            break
+    if kmax <= accel.FRI_FUSE_MAX_LOG and stop_log < kmax - 1:
+        # Small-kmax fast path: the ENTIRE chain (alpha0 + circle folds +
+        # every committed layer) is one program (accel._jit_fri_chain).
+        jobs.append(Job(
+            f"fri_chain:{kmax}->{stop_log}", "_jit_fri_chain",
+            (tuple(commit_logs), B, eff_bound, F, stop_log, mk),
+            (_u32(8), _i32_scalar(), [_u32(1 << k, 4) for k in commit_logs]),
+        ))
+        return jobs
+
     jobs.append(Job("draw_felt", "_jit_draw_felt", (), (_u32(8), _i32_scalar())))
     for k in commit_logs:
         jobs.append(Job(
@@ -268,12 +284,6 @@ def plan(layout, claim, config) -> List[Job]:
             (_u32(1 << k, 4), _u32(4)),
         ))
 
-    fused_min = min(fri_mod.FUSED_MIN_ROWS, max(1, accel.OFFLOAD_MIN_ROWS))
-    stop_log = last_line_log
-    for lvl in fri_mod._chain_levels(kmax, last_line_log, F):
-        if (1 << lvl) < fused_min or lvl == last_line_log:
-            stop_log = lvl
-            break
     line_logs = {k - 1 for k in commit_logs}
     cur_log = kmax - 1
     while cur_log > stop_log:

@@ -264,11 +264,13 @@ def _fused_prefix(inputs: Dict[int, np.ndarray], config: FriConfig, channel,
     )
 
     # Wrap the device-resident tree layers for the fused decommit gather.
+    # from_layers_2d keeps the (N, 4) evals whole -- per-column slicing
+    # here would cost 4 eager device dispatches per layer.
     layers = []
     log_i = kmax - 1
     last_line_log = B + bound
     for evals_d, layer_dict in trees:
-        tree = MerkleTree.from_layers(layer_dict, [evals_d[:, j] for j in range(4)])
+        tree = MerkleTree.from_layers_2d(layer_dict, evals_d)
         layers.append((log_i, evals_d, tree))
         log_i -= min(F, log_i - last_line_log)
     assert log_i == stop_log

@@ -231,6 +231,11 @@ def _prove_once(pie: LuminairPie, settings, config: Optional[PcsConfig] = None) 
                         inter_cols.append(np.ascontiguousarray(q[:, k]))
                     else:
                         inter_cols.append(q[:, k])
+            # This component's raw trace uploads have no further reader:
+            # free them NOW so the interaction tree's LDE (the phase-2 HBM
+            # peak -- 20x2^23 on the b1024 flagship) starts with their
+            # headroom reclaimed.
+            padded_by_comp[c.name] = None
         # Claimed sums are tiny; stack device-resident ones and download in
         # ONE transfer (the tunneled-TPU link charges ~10 ms latency per
         # download, and there is one sum per component).
@@ -244,12 +249,14 @@ def _prove_once(pie: LuminairPie, settings, config: Optional[PcsConfig] = None) 
         sums = {n: np.asarray(v, dtype=np.uint32) for n, v in sums.items()}
         interaction_claim = LuminairInteractionClaim(sums)
         interaction_claim.mix_into(channel)
-        pcs.commit(inter_cols)
-        # Free phase-2 working sets: the interaction tree owns its columns
-        # now, and phase 3 reads committed evals, not raw trace columns.
-        inter_cols = None
+        # Free the remaining phase-2 working sets BEFORE the interaction
+        # commit: its LDE + Merkle build is the phase's HBM peak, and
+        # nothing downstream reads raw trace columns (phase 3 reads
+        # committed evals).
         padded_by_comp = None
         pp_by_id = None
+        pcs.commit(inter_cols)
+        inter_cols = None
 
     # ---- phase 3a: composition poly ------------------------------------
     with timer.span("phase3a_composition"):
