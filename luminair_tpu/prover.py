@@ -102,7 +102,9 @@ def prove(pie: LuminairPie, settings, config: Optional[PcsConfig] = None) -> Lum
         warnings.warn(
             f"device prove ran out of HBM ({err!r}); re-proving on host "
             "numpy (correct, slow).  For this proof size on-device, shard "
-            "over a device mesh (parallel/sharding.py) or raise blowup."
+            "over a device mesh (parallel/sharding.py -- every resident "
+            "divides by the chip count; see docs/tpu.md 'HBM budget').  "
+            f"Phases completed before the OOM: {list(timer.phases) or 'none'}."
         )
         was_enabled = accel.enabled()
         accel.enable(False)
