@@ -63,8 +63,11 @@ def main():
     _log(f"trace done ({trace_s:.1f}s, {cells} cells)")
 
     # Warmup (jit compiles, persistently cached), then the timed prove.
-    prove(pie, settings)
-    _log("warmup prove done")
+    # LUMINAIR_FLAGSHIP_WARMUP=0 skips it -- pointless when the shape is
+    # known to heal to the host prover (no compiles to warm).
+    if os.environ.get("LUMINAIR_FLAGSHIP_WARMUP", "1") != "0":
+        prove(pie, settings)
+        _log("warmup prove done")
     t0 = time.perf_counter()
     proof = prove(pie, settings)
     prove_s = time.perf_counter() - t0

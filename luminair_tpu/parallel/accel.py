@@ -321,6 +321,55 @@ def _record_mode(kind: str, shape_sig: str, mode) -> None:
     _modes_save()
 
 
+# ---------------------------------------------------------------------------
+# OOM shape memory: a proof shape that exhausted HBM once will exhaust it
+# again -- the heal ladder's host fallback is correct but the failed device
+# attempt it heals from costs minutes of dispatch + unwind at flagship
+# scale.  Persist the shape (same dir as fft_modes.json) so later prove()
+# calls route straight to the host prover.  LUMINAIR_RETRY_OOM_SHAPES=1
+# ignores the memory (e.g. after moving to a bigger chip or a mesh).
+# ---------------------------------------------------------------------------
+
+
+def _oom_path() -> str:
+    return os.path.join(os.path.dirname(_modes_path()), "oom_shapes.json")
+
+
+def _oom_key(shape_sig: str) -> str:
+    import jax
+
+    return f"{jax.default_backend()}:{shape_sig}"
+
+
+def oom_shape_known(shape_sig: str) -> bool:
+    if os.environ.get("LUMINAIR_RETRY_OOM_SHAPES", "0") == "1":
+        return False
+    try:
+        import json
+
+        with open(_oom_path()) as f:
+            return _oom_key(shape_sig) in json.load(f)
+    except Exception:
+        return False
+
+
+def record_oom_shape(shape_sig: str) -> None:
+    try:
+        import json
+
+        try:
+            with open(_oom_path()) as f:
+                d = json.load(f)
+        except Exception:
+            d = {}
+        d[_oom_key(shape_sig)] = True
+        os.makedirs(os.path.dirname(_oom_path()), exist_ok=True)
+        with open(_oom_path(), "w") as f:
+            json.dump(d, f, indent=0, sort_keys=True)
+    except Exception:
+        pass
+
+
 # Spot positions for the ARBITER check (step 2 above) -- only reached when
 # the two layouts already disagree, and always augmented with the actual
 # contested positions, so sparsity is not a soundness hole here (step 1 is

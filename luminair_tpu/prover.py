@@ -66,6 +66,29 @@ def prove(pie: LuminairPie, settings, config: Optional[PcsConfig] = None) -> Lum
         1 << max(t.log_size for t in tables.values())
     )
     check = _os.environ.get("LUMINAIR_PROVE_SELFCHECK", "1") != "0"
+    shape_sig = "|".join(
+        f"{n}:{t.log_size}" for n, t in sorted(tables.items())
+    ) + f":B{(config or PcsConfig()).log_blowup}"
+    if device and accel.oom_shape_known(shape_sig):
+        # This shape exhausted HBM before (persisted by the heal ladder);
+        # skip the doomed device attempt and prove on host directly.
+        warnings.warn(
+            "this proof shape previously exhausted device HBM; proving on "
+            "host numpy (LUMINAIR_RETRY_OOM_SHAPES=1 to re-attempt on "
+            "device, e.g. on a bigger chip or a mesh)."
+        )
+        was_enabled = accel.enabled()
+        accel.enable(False)
+        try:
+            proof = _prove_once(pie, settings, config)
+        finally:
+            if was_enabled:
+                accel.enable(True)
+        from .verifier import prover_self_check as _psc
+
+        if check and not _psc(proof, settings):
+            raise ProverError("host prove failed its own OODS self-check")
+        return proof
 
     # A corrupt device program either yields a proof violating the OODS
     # identity (the observed batch-256 mode) or trips an internal
@@ -106,6 +129,7 @@ def prove(pie: LuminairPie, settings, config: Optional[PcsConfig] = None) -> Lum
             "divides by the chip count; see docs/tpu.md 'HBM budget').  "
             f"Phases completed before the OOM: {list(timer.phases) or 'none'}."
         )
+        accel.record_oom_shape(shape_sig)
         was_enabled = accel.enabled()
         accel.enable(False)
         try:

@@ -138,3 +138,42 @@ def test_host_prove_self_check_is_cheap_and_green():
     t0 = time.perf_counter()
     assert prover_self_check(proof, settings)
     assert time.perf_counter() - t0 < 0.5
+
+
+def test_oom_heals_to_host_and_persists_the_shape(accel_on, monkeypatch):
+    """RESOURCE_EXHAUSTED is not a correctness failure: the heal ladder
+    must skip the natural-layout rung (it needs MORE memory), re-prove on
+    host, and PERSIST the shape so the next prove() of the same shape
+    never re-attempts the doomed device path (the failed attempt costs
+    minutes at flagship scale)."""
+    calls = {"n": 0}
+    real = accel.domain_constraints
+
+    def oom(*args, **kwargs):
+        calls["n"] += 1
+        raise RuntimeError("RESOURCE_EXHAUSTED: TPU backend error (ResourceExhausted).")
+
+    monkeypatch.setattr(accel, "domain_constraints", oom)
+    pie, settings = _build()
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        proof = prove(pie, settings, CFG)
+    assert any("ran out of HBM" in str(w.message) for w in caught)
+    assert calls["n"] >= 1
+    assert prover_self_check(proof, settings)
+    assert verify(proof, settings)
+
+    # Second prove of the same shape: straight to host, device untouched.
+    calls["n"] = 0
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        proof2 = prove(pie, settings, CFG)
+    assert any("previously exhausted" in str(w.message) for w in caught)
+    assert calls["n"] == 0
+    assert verify(proof2, settings)
+
+    # Opt-out: LUMINAIR_RETRY_OOM_SHAPES re-attempts the device path.
+    monkeypatch.setenv("LUMINAIR_RETRY_OOM_SHAPES", "1")
+    monkeypatch.setattr(accel, "domain_constraints", real)
+    proof3 = prove(pie, settings, CFG)
+    assert verify(proof3, settings)
