@@ -161,14 +161,31 @@ def hash_words(words):
                 )
             return out.reshape(batch + (8,))
 
+    # Move word axis first: (L, ...).
+    w = xp.moveaxis(words, -1, 0)
+    return xp.moveaxis(hash_words_major(w), 0, -1)
+
+
+def hash_words_major(w):
+    """Blake2s-256 with WORD-MAJOR input/output: w is (L, ...) uint32,
+    digests return as (8, ...).
+
+    On TPU this is the layout the compression function already works in
+    (word rows over a dense batch minor axis).  Row-major (..., L) inputs
+    with small L tile-pad catastrophically as XLA temps -- a (n, 1)
+    column reshape costs 128x its size -- so hot callers (the Merkle leaf
+    builder) assemble (L, n) directly and skip hash_words' moveaxis."""
+    xp = _xp(w)
+    L = w.shape[0]
+    batch = w.shape[1:]
+    byte_len = 4 * L
+    n_blocks = max(1, -(-L // 16))
+
     h0 = IV.copy()
     h0[0] ^= np.uint32(0x01010000 ^ 32)
     h = xp.broadcast_to(
         xp.asarray(h0, dtype=xp.uint32).reshape((8,) + (1,) * len(batch)), (8,) + batch
     )
-
-    # Move word axis first: (L, ...).
-    w = xp.moveaxis(words, -1, 0)
     for blk in range(n_blocks):
         start = blk * 16
         take = min(16, L - start)
@@ -180,7 +197,7 @@ def hash_words(words):
         last = blk == n_blocks - 1
         t = byte_len if last else (blk + 1) * 64
         h = _compress(xp, h, block, t, last)
-    return xp.moveaxis(h, 0, -1)
+    return h
 
 
 def digest_to_bytes(digest_words: np.ndarray) -> bytes:

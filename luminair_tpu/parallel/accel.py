@@ -887,7 +887,15 @@ def _jit_merkle_tree(sig: tuple, mk=None):
             if prev is not None:
                 parts.append(prev.reshape(n, 16))
             if log in cols_by_log:
-                parts.append(jnp.stack(cols_by_log[log], axis=1))
+                # ONE dense 1-D concat + reshape + transpose -- NOT
+                # jnp.stack(cols, axis=1): stack lowers to a (n, 1)
+                # broadcast per column, each tile-padded 128x as an HLO
+                # temp (69 columns x 256 MB = 17.8 GB at 512x512; the
+                # r5 sweep's compile-OOM and the b1024 flagship OOM).
+                k = len(cols_by_log[log])
+                parts.append(
+                    jnp.concatenate(cols_by_log[log]).reshape(k, n).T
+                )
             words = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
             layer_mk = mk if mk is not None and n >= 2 * n_dev else None
             prev = blake2s.hash_words(_shard_dim(words, layer_mk, 0))
@@ -1546,9 +1554,12 @@ def _fri_schedule(logs: tuple, B: int, bound: int, F: int, stop_log: int):
 # At small proof sizes the per-layer path is dispatch-latency bound (~6
 # async launches + their tunnel overhead for a 2^17 chain); one program is
 # one launch.  Above the cap, per-layer programs keep XLA optimization
-# time linear in levels (a monolithic chain at 2^21 took tens of minutes
-# to compile) and stay shared across proof sizes.
-FRI_FUSE_MAX_LOG = int(os.environ.get("LUMINAIR_FRI_FUSE_MAX_LOG", "20"))
+# time linear in levels and stay shared across proof sizes.  19 is
+# measured: kmax=19 (the 256x256 bench) compiles in ~1 min and cuts the
+# FRI phase ~2x; at kmax=20 the axon remote-compile helper crashes on the
+# monolithic program (HTTP 500, subprocess exit 1 -- r5 512x512 sweep),
+# and a 2^21 chain took tens of minutes to compile on earlier rounds.
+FRI_FUSE_MAX_LOG = int(os.environ.get("LUMINAIR_FRI_FUSE_MAX_LOG", "19"))
 
 
 @lru_cache(maxsize=None)
@@ -1628,27 +1639,40 @@ def fri_commit_chain(inputs: Dict[int, "np.ndarray"], B: int, bound: int, F: int
     mk = mesh_key()
 
     if kmax <= FRI_FUSE_MAX_LOG:
-        run = _jit_fri_chain(tuple(logs), B, bound, F, stop_log, mk)
-        digest_d = jnp.asarray(np.frombuffer(digest32, dtype="<u4"))
-        (digest_d, counter_d, roots_d, alphas_d, alpha0_d, cur_d, tail_d,
-         trees) = run(digest_d, jnp.int32(counter),
-                      [jnp.asarray(inputs[k]) for k in logs])
-        digest_h, counter_h, roots_h, alphas_h, alpha0_h, cur_h, tail_h = (
-            jax.device_get(
-                (digest_d, counter_d, roots_d, alphas_d, alpha0_d, cur_d,
-                 tail_d)
+        try:
+            run = _jit_fri_chain(tuple(logs), B, bound, F, stop_log, mk)
+            digest_d = jnp.asarray(np.frombuffer(digest32, dtype="<u4"))
+            (digest_d, counter_d, roots_d, alphas_d, alpha0_d, cur_d, tail_d,
+             trees) = run(digest_d, jnp.int32(counter),
+                          [jnp.asarray(inputs[k]) for k in logs])
+            digest_h, counter_h, roots_h, alphas_h, alpha0_h, cur_h, tail_h = (
+                jax.device_get(
+                    (digest_d, counter_d, roots_d, alphas_d, alpha0_d, cur_d,
+                     tail_d)
+                )
             )
-        )
-        return (
-            np.asarray(digest_h, dtype="<u4").tobytes(),
-            int(counter_h),
-            [np.asarray(r) for r in roots_h],
-            [np.asarray(a) for a in alphas_h],
-            np.asarray(alpha0_h),
-            np.asarray(cur_h),
-            {int(l): np.asarray(v) for l, v in tail_h.items()},
-            trees,
-        )
+            return (
+                np.asarray(digest_h, dtype="<u4").tobytes(),
+                int(counter_h),
+                [np.asarray(r) for r in roots_h],
+                [np.asarray(a) for a in alphas_h],
+                np.asarray(alpha0_h),
+                np.asarray(cur_h),
+                {int(l): np.asarray(v) for l, v in tail_h.items()},
+                trees,
+            )
+        except Exception as e:
+            # A monolithic-chain COMPILE failure (the axon remote-compile
+            # helper 500s on very large fused programs) is an infrastructure
+            # problem, not corruption: fall back to the per-layer chain
+            # below -- same transcript -- instead of letting the prove-level
+            # heal ladder purge trusted FFT verdicts and re-prove.
+            import warnings
+
+            warnings.warn(
+                f"fused FRI chain unavailable for kmax={kmax} ({e!r}); "
+                "falling back to the per-layer chain"
+            )
 
     digest = jnp.asarray(np.frombuffer(digest32, dtype="<u4"))
     alpha0_d, counter_d = _jit_draw_felt()(digest, jnp.int32(counter))
